@@ -1,0 +1,144 @@
+"""Spherical-harmonic and spherindrical-harmonic color evaluation.
+
+Basis constants and evaluation order transcribed from the reference shaders:
+  - real SH basis ``shc[16]`` and degree <= 3 lookup with the +0.5 color bias:
+    src/material/spherical_harmonics.wgsl:3-68
+  - 4D spherindrical lookup (spatial SH x temporal cosine harmonics):
+    src/material/spherindrical_harmonics.wgsl:11-126
+
+SH storage is interleaved rgb per coefficient: sh[k * 3 + channel]
+(src/material/spherical_harmonics.rs SphericalHarmonicCoefficients).
+Evaluation is a [N, 16] basis matrix contracted against [N, 16, 3] coefficients —
+a VPU multiply + small reduction that XLA fuses with the projection pipeline.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+# src/material/spherical_harmonics.wgsl:3-20
+SHC = np.array(
+    [
+        0.28209479177387814,
+        -0.4886025119029199,
+        0.4886025119029199,
+        -0.4886025119029199,
+        1.0925484305920792,
+        -1.0925484305920792,
+        0.31539156525252005,
+        -1.0925484305920792,
+        0.5462742152960396,
+        -0.5900435899266435,
+        2.890611442640554,
+        -0.4570457994644658,
+        0.3731763325901154,
+        -0.4570457994644658,
+        1.445305721320277,
+        -0.5900435899266435,
+    ],
+    dtype=np.float32,
+)
+
+
+def sh_basis(direction: jnp.ndarray, degree: int = 3) -> jnp.ndarray:
+    """Evaluate the scaled real SH basis shc[k] * Y_k(dir) for [..., 3] unit
+    directions -> [..., (degree+1)^2].  Matches the per-term expressions in
+    spherical_harmonics.wgsl:40-66 (the reference hard-codes these polynomials;
+    the x/y/z conventions and signs must match exactly)."""
+    x, y, z = direction[..., 0], direction[..., 1], direction[..., 2]
+    one = jnp.ones_like(x)
+    terms = [SHC[0] * one]
+    if degree >= 1:
+        terms += [SHC[1] * y, SHC[2] * z, SHC[3] * x]
+    if degree >= 2:
+        xx, yy, zz = x * x, y * y, z * z
+        terms += [
+            SHC[4] * x * y,
+            SHC[5] * y * z,
+            SHC[6] * (2.0 * zz - xx - yy),
+            SHC[7] * x * z,
+            SHC[8] * (xx - yy),
+        ]
+    if degree >= 3:
+        terms += [
+            SHC[9] * y * (3.0 * xx - yy),
+            SHC[10] * x * y * z,
+            SHC[11] * y * (4.0 * zz - xx - yy),
+            SHC[12] * z * (2.0 * zz - 3.0 * xx - 3.0 * yy),
+            SHC[13] * x * (4.0 * zz - xx - yy),
+            SHC[14] * z * (xx - yy),
+            SHC[15] * x * (xx - 3.0 * yy),
+        ]
+    return jnp.stack(terms, axis=-1)
+
+
+def spherical_harmonics_lookup(
+    direction: jnp.ndarray, sh: jnp.ndarray, degree: int = 3
+) -> jnp.ndarray:
+    """SH color for [..., 3] directions and [..., K] interleaved-rgb coefficients
+    -> [..., 3] with the reference's +0.5 bias (spherical_harmonics.wgsl:39)."""
+    n_basis = (degree + 1) ** 2
+    basis = sh_basis(direction, degree)  # [..., n_basis]
+    coeffs = sh[..., : n_basis * 3].reshape(*sh.shape[:-1], n_basis, 3)
+    return 0.5 + jnp.einsum("...k,...kc->...c", basis, coeffs)
+
+
+def spherindrical_harmonics_lookup(
+    direction: jnp.ndarray,
+    dir_t: jnp.ndarray,
+    sh: jnp.ndarray,
+    duration: jnp.ndarray,
+    degree: int = 3,
+    degree_time: int = 2,
+) -> jnp.ndarray:
+    """4D color: spatial SH basis modulated by temporal cosine harmonics
+    cos(2 pi k theta), theta = dir_t / duration
+    (spherindrical_harmonics.wgsl:77-126)."""
+    n_basis = (degree + 1) ** 2
+    basis = sh_basis(direction, degree)  # [..., n_basis]
+    theta = dir_t / duration
+    blocks = [jnp.ones_like(theta)]
+    for k in range(1, degree_time + 1):
+        blocks.append(jnp.cos(2.0 * jnp.pi * k * theta))
+    # temporal modulation per block: full basis reused for every time harmonic
+    tb = jnp.stack(blocks, axis=-1)  # [..., degree_time+1]
+    full_basis = basis[..., None, :] * tb[..., :, None]  # [..., T, n_basis]
+    full_basis = full_basis.reshape(*basis.shape[:-1], n_basis * (degree_time + 1))
+    coeffs = sh[..., : full_basis.shape[-1] * 3].reshape(
+        *sh.shape[:-1], full_basis.shape[-1], 3
+    )
+    return 0.5 + jnp.einsum("...k,...kc->...c", full_basis, coeffs)
+
+
+def srgb_to_linear(srgb: jnp.ndarray) -> jnp.ndarray:
+    """Per-channel sRGB EOTF (spherical_harmonics.wgsl:22-33)."""
+    return jnp.where(
+        srgb <= 0.04045,
+        srgb / 12.92,
+        jnp.power(jnp.maximum((srgb + 0.055) / 1.055, 1e-12), 2.4),
+    )
+
+
+def linear_to_srgb(linear: jnp.ndarray) -> jnp.ndarray:
+    """Inverse OETF — applied by the image writer to mimic the reference's
+    Rgba8UnormSrgb render target encode (src/render/mod.rs:914-982)."""
+    return jnp.where(
+        linear <= 0.0031308,
+        linear * 12.92,
+        1.055 * jnp.power(jnp.maximum(linear, 1e-12), 1.0 / 2.4) - 0.055,
+    )
+
+
+def world_to_local_direction(direction: jnp.ndarray, transform: jnp.ndarray) -> jnp.ndarray:
+    """Rotate a world-space ray direction into the cloud's local frame using the
+    normalized model-transform basis (src/render/gaussian.wgsl:186-203)."""
+    basis = transform[:3, :3]  # columns are the local axes in world space
+    bx = basis[:, 0] / jnp.linalg.norm(basis[:, 0])
+    by = basis[:, 1] / jnp.linalg.norm(basis[:, 1])
+    bz = basis[:, 2] / jnp.linalg.norm(basis[:, 2])
+    local = jnp.stack(
+        [direction @ bx, direction @ by, direction @ bz],
+        axis=-1,
+    )
+    return local / jnp.linalg.norm(local, axis=-1, keepdims=True)
