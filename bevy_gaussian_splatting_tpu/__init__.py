@@ -24,7 +24,9 @@ from bevy_gaussian_splatting_tpu.models.cloud import (  # noqa: F401
     Gaussian3dCloud,
     Gaussian4dCloud,
     random_gaussians_3d,
+    random_gaussians_3d_seeded,
     random_gaussians_4d,
+    random_gaussians_4d_seeded,
     test_model_3d,
 )
 from bevy_gaussian_splatting_tpu.models.settings import (  # noqa: F401
