@@ -72,8 +72,14 @@ def project_gaussians(
     aabb_max: Optional[jnp.ndarray] = None,
     depth_minmax: Optional[tuple] = None,
     delta_time: float = 1.0 / 60.0,
+    time=None,
 ) -> dict:
-    """Project a cloud to per-splat screen attributes (vs_points equivalent)."""
+    """Project a cloud to per-splat screen attributes (vs_points equivalent).
+
+    ``time`` optionally overrides ``settings.time`` with a traced value so 4D
+    playback does not re-specialize the pipeline per frame."""
+    if time is None:
+        time = jnp.float32(settings.time)
     if model_transform is None:
         model_transform = jnp.eye(4, dtype=jnp.float32)
 
@@ -103,7 +109,7 @@ def project_gaussians(
             cloud.scale,
             cloud.timescale,
             cloud.timestamp,
-            jnp.float32(settings.time),
+            time,
             settings.global_scale,
         )
         mask &= cond["mask"]
@@ -215,7 +221,7 @@ def project_gaussians(
             cloud.scale,
             cloud.timescale,
             cloud.timestamp,
-            jnp.float32(settings.time) + time_delta,
+            time + time_delta,
             settings.global_scale,
         )
         vel = (cond_f["delta_mean"] - cond["delta_mean"]) / time_delta

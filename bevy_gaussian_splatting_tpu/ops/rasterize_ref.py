@@ -152,13 +152,21 @@ def render_oracle(
     settings: CloudSettings,
     model_transform: Optional[jnp.ndarray] = None,
     background: Optional[jnp.ndarray] = None,
+    time=None,
+    width: Optional[int] = None,
+    height: Optional[int] = None,
 ) -> jnp.ndarray:
-    """Full oracle render: sort + project + composite -> [H, W, 4] linear RGBA."""
+    """Full oracle render: sort + project + composite -> [H, W, 4] linear RGBA.
+
+    ``width``/``height`` must be passed explicitly when tracing under jit (the
+    image shape is static); otherwise they are read off the camera viewport."""
     if model_transform is None:
         model_transform = jnp.eye(4, dtype=jnp.float32)
 
-    width = int(camera.viewport[2])
-    height = int(camera.viewport[3])
+    if width is None:
+        width = int(camera.viewport[2])
+    if height is None:
+        height = int(camera.viewport[3])
     clip_from_world = camera.clip_from_view @ camera.view_from_world
 
     if settings.sort_mode in (SortMode.RADIX, SortMode.NONE):
@@ -200,6 +208,7 @@ def render_oracle(
         settings,
         model_transform,
         depth_minmax=(min_d, max_d),
+        time=time,
     )
     splats["mask"] = splats["mask"] & sentinel_mask
 
