@@ -170,14 +170,17 @@ def render_oracle(
     clip_from_world = camera.clip_from_view @ camera.view_from_world
 
     if settings.sort_mode in (SortMode.RADIX, SortMode.NONE):
-        keys, order = sort_ops.sort_gaussians_radix(
+        back_key = sort_ops.radix_depth_key(
             cloud.position,
             model_transform,
             clip_from_world,
             camera.world_position,
             settings.radix_sort_depth_bits.bits,
         )
-        sentinel_mask = keys != sort_ops.SENTINEL_KEY
+        keys, order = sort_ops.sort_entries(back_key)
+        # per-GAUSSIAN sentinel mask (back_key is in cloud order; ``keys`` is in
+        # sorted order and must not be mixed with unsorted splats)
+        sentinel_mask = back_key != sort_ops.SENTINEL_KEY
     else:
         import numpy as np
 

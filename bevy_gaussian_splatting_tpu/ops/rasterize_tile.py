@@ -1,0 +1,465 @@
+"""Tile-binned production rasterizer — TPU-native, no atomics, static shapes.
+
+Replaces the reference's GPU pipeline (global radix sort -> instanced quads ->
+hardware blend, src/sort/radix.wgsl + src/render/gaussian.wgsl) with the
+sort/scan formulation that suits XLA/TPU:
+
+  1. project all N gaussians (ops/project.py — the vs_points equivalent)
+  2. compute each splat's tile rectangle from its screen bbox
+  3. expand (gaussian, tile) pairs into a *static* P_max-slot buffer using
+     cumsum + searchsorted (replaces the WGSL atomic counters,
+     src/sort/radix.wgsl:35-38 — TPU has no global atomics)
+  4. one ``lax.sort`` over (tile, front-depth-key, tie-break) triples — XLA
+     lowers to an on-chip sort network; this subsumes the reference's
+     multi-pass LSD radix ping-pong (src/sort/radix.rs:447-607)
+  5. per-tile contiguous ranges via ``searchsorted``
+  6. front-to-back compositing in chunks: per-chunk exclusive cumprod of
+     (1 - alpha) turns the sequential blend into VPU-parallel work; the
+     transmittance carries across chunks via ``lax.scan``
+
+The result matches the oracle painter bit-for-bit up to f32 reassociation: the
+per-pair tie-break key reproduces the back-to-front stable order exactly.
+
+Static budgets (compile-time, bucketed by N):
+  P_max   total (gaussian, tile) pairs; overflow truncates farthest pairs
+  K_max   per-tile splat budget; overflow drops the most-occluded splats
+
+Differentiable via XLA AD through the scan (the hand-derived Pallas backward
+replaces this on the hot path).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bevy_gaussian_splatting_tpu.models.camera import Camera
+from bevy_gaussian_splatting_tpu.models.settings import (
+    CloudSettings,
+    GaussianMode,
+    SortMode,
+)
+from bevy_gaussian_splatting_tpu.ops import sort as sort_ops
+from bevy_gaussian_splatting_tpu.ops.project import project_gaussians
+from bevy_gaussian_splatting_tpu.ops.rasterize_ref import ALPHA_CAP
+
+TILE = 16  # pixels per tile side (16x16 = 256 px, BASELINE.json tile spec)
+
+
+def supports(settings: CloudSettings) -> bool:
+    return True
+
+
+def pairs_budget(n: int) -> int:
+    """Static (gaussian, tile) pair capacity, bucketed to limit recompiles."""
+    return int(min(max(8 * n, 1 << 14), 1 << 23))
+
+
+def tile_budget(n: int) -> int:
+    """Per-tile splat budget (chunk-aligned)."""
+    return int(min(max(2 * n, 1 << 10), 1 << 13))
+
+
+# ---------------------------------------------------------------------------
+# Binning
+# ---------------------------------------------------------------------------
+
+
+def _pixel_extents(splats: dict, settings: CloudSettings, width, height):
+    """Per-splat half-extents (rx, ry) in *pixels* and center pixel coords."""
+    cx_px = (splats["center_ndc"][:, 0] + 1.0) * 0.5 * width
+    cy_px = (1.0 - splats["center_ndc"][:, 1]) * 0.5 * height
+
+    if settings.gaussian_mode == GaussianMode.GAUSSIAN_2D:
+        r = splats["surfel_radius"] * 0.5  # vp -> px
+        rx = ry = r
+    elif settings.aabb:
+        r = splats["radius_vp"] * 0.5
+        rx = ry = r
+    else:
+        e1 = splats["obb_axis"]
+        b = splats["obb_bounds"]
+        # rotated-rect bbox: |e1|*b1 + |e2|*b2 with e2 = (e1.y, -e1.x)
+        rx = (jnp.abs(e1[:, 0]) * b[:, 0] + jnp.abs(e1[:, 1]) * b[:, 1]) * 0.5
+        ry = (jnp.abs(e1[:, 1]) * b[:, 0] + jnp.abs(e1[:, 0]) * b[:, 1]) * 0.5
+    return cx_px, cy_px, rx, ry
+
+
+def bin_gaussians(
+    splats: dict,
+    settings: CloudSettings,
+    width: int,
+    height: int,
+    p_max: int,
+):
+    """Build sorted (tile, pair) assignment with static shapes.
+
+    Returns (pair_gidx [P], pair_tile [P], pair_valid [P], num_pairs) where
+    pairs are sorted by (tile, front-to-back depth, painter tie-break)."""
+    tx_count = width // TILE
+    ty_count = height // TILE
+    n = splats["mask"].shape[0]
+
+    cx, cy, rx, ry = _pixel_extents(splats, settings, width, height)
+    active = splats["mask"] & (rx > 0.0) & (ry > 0.0)
+
+    tx0 = jnp.clip(jnp.floor((cx - rx) / TILE), 0, tx_count - 1).astype(jnp.int32)
+    tx1 = jnp.clip(jnp.floor((cx + rx) / TILE), 0, tx_count - 1).astype(jnp.int32)
+    ty0 = jnp.clip(jnp.floor((cy - ry) / TILE), 0, ty_count - 1).astype(jnp.int32)
+    ty1 = jnp.clip(jnp.floor((cy + ry) / TILE), 0, ty_count - 1).astype(jnp.int32)
+    # also drop splats whose bbox is entirely off screen
+    on_screen = (
+        (cx + rx >= 0.0) & (cx - rx <= width) & (cy + ry >= 0.0) & (cy - ry <= height)
+    )
+    active = active & on_screen
+
+    rect_w = tx1 - tx0 + 1
+    rect_h = ty1 - ty0 + 1
+    counts = jnp.where(active, rect_w * rect_h, 0)
+
+    cum = jnp.cumsum(counts)  # inclusive
+    total = cum[-1]
+    offsets = cum - counts  # exclusive
+
+    # slot -> gaussian via searchsorted over the cumulative counts
+    slots = jnp.arange(p_max, dtype=jnp.int32)
+    gidx = jnp.searchsorted(cum, slots, side="right").astype(jnp.int32)
+    valid = slots < total
+    g = jnp.clip(gidx, 0, n - 1)
+
+    k = slots - offsets[g]
+    w_g = rect_w[g]
+    tile_x = tx0[g] + k % w_g
+    tile_y = ty0[g] + k // w_g
+    tile = tile_y * tx_count + tile_x
+    tile = jnp.where(valid, tile, tx_count * ty_count)  # sentinel tile sorts last
+
+    # front-to-back order = exact reverse of the reference's back-to-front
+    # radix order: complement of the (possibly shifted) radix key
+    # (src/sort/radix.wgsl:88-99), ties broken by descending cloud index to
+    # mirror the stable back-to-front painter reversed
+    front_key = jnp.uint32(0xFFFFFFFF) - splats["sort_key"][g]
+    tie = (jnp.uint32(n) - jnp.uint32(1) - g.astype(jnp.uint32))
+
+    tile_s, _, _, g_s, valid_s = jax.lax.sort(
+        (tile.astype(jnp.int32), front_key, tie, g, valid), num_keys=3, is_stable=False
+    )
+    return g_s, tile_s, valid_s, total
+
+
+def tile_ranges(pair_tile: jnp.ndarray, num_tiles: int):
+    """Contiguous [start, end) per tile via searchsorted (replaces the radix
+    scatter's atomic draw-indirect bookkeeping)."""
+    tids = jnp.arange(num_tiles, dtype=jnp.int32)
+    start = jnp.searchsorted(pair_tile, tids, side="left").astype(jnp.int32)
+    end = jnp.searchsorted(pair_tile, tids, side="right").astype(jnp.int32)
+    return start, end
+
+
+# ---------------------------------------------------------------------------
+# Per-splat raster parameters (packed for gather efficiency)
+# ---------------------------------------------------------------------------
+
+
+def pack_raster_params(splats: dict, settings: CloudSettings, width, height) -> jnp.ndarray:
+    """[N, C] packed per-splat parameters for the compositor."""
+    cx_vp = splats["center_ndc"][:, 0] * width
+    cy_vp = splats["center_ndc"][:, 1] * height
+    rgb = splats["rgb"]
+    alpha = splats["alpha"] * splats["mask"].astype(jnp.float32)
+
+    if settings.gaussian_mode == GaussianMode.GAUSSIAN_2D:
+        T = splats["surfel_t"].reshape(-1, 9)
+        cols = [
+            splats["center_ndc"][:, 0],
+            splats["center_ndc"][:, 1],
+            splats["mean_2d"][:, 0],
+            splats["mean_2d"][:, 1],
+            splats["surfel_radius"],
+        ] + [T[:, i] for i in range(9)]
+    elif settings.aabb:
+        conic = splats["conic"]
+        cols = [cx_vp, cy_vp, conic[:, 0], conic[:, 1], conic[:, 2], splats["radius_vp"]]
+    else:
+        e1 = splats["obb_axis"]
+        b = splats["obb_bounds"]
+        cols = [cx_vp, cy_vp, e1[:, 0], e1[:, 1], b[:, 0], b[:, 1]]
+
+    cols = cols + [rgb[:, 0], rgb[:, 1], rgb[:, 2], alpha]
+    return jnp.stack(cols, axis=-1)
+
+
+def _eval_chunk_gaussian(params, px_vp, py_vp, px_ndc, py_ndc, settings, width, height):
+    """Gaussian falloff for a chunk of splats against a tile's pixels.
+
+    params [T, C, P]-ready: here [..., C_params]; pixel arrays [..., 256].
+    Returns alpha in [0, ALPHA_CAP]."""
+    if settings.gaussian_mode == GaussianMode.GAUSSIAN_2D:
+        cx_ndc = params[..., 0:1]
+        cy_ndc = params[..., 1:2]
+        m2x = params[..., 2:3]
+        m2y = params[..., 3:4]
+        mr = params[..., 4:5]
+        t = [params[..., 5 + i : 6 + i] for i in range(9)]
+        dxn = px_ndc - cx_ndc
+        dyn = py_ndc - cy_ndc
+        inside = (jnp.abs(dxn) * width <= mr) & (jnp.abs(dyn) * height <= mr)
+        pcx = m2x + dxn * width
+        pcy = m2y + dyn * width
+        # surfel_fragment_power inline (gaussian_2d.wgsl:134-156); T columns:
+        # T0 = (t0, t1, t2), T1 = (t3, t4, t5), T2 = (t6, t7, t8) in math rows
+        # stored row-major [3, 3]: t[3 * r + c] = T[r][c]; columns c fixed.
+        hu = [pcx * t[3 * r + 2] - t[3 * r + 0] for r in range(3)]
+        hv = [pcy * t[3 * r + 2] - t[3 * r + 1] for r in range(3)]
+        px_ = hu[1] * hv[2] - hu[2] * hv[1]
+        py_ = hu[2] * hv[0] - hu[0] * hv[2]
+        pz_ = hu[0] * hv[1] - hu[1] * hv[0]
+        pz_ = jnp.where(jnp.abs(pz_) > 1e-12, pz_, 1e-12)
+        us = px_ / pz_
+        vs = py_ / pz_
+        s3d = us * us + vs * vs
+        d2 = (m2x - pcx) ** 2 + (m2y - pcy) ** 2
+        power = -0.5 * jnp.minimum(s3d, 2.0 * d2)
+        g = jnp.where(inside, jnp.exp(power), 0.0)
+    elif settings.aabb:
+        cx = params[..., 0:1]
+        cy = params[..., 1:2]
+        dx = cx - px_vp
+        dy = cy - py_vp
+        power = (
+            -0.5 * (params[..., 2:3] * dx * dx + params[..., 4:5] * dy * dy)
+            + params[..., 3:4] * dx * dy
+        )
+        r = params[..., 5:6]
+        inside = (jnp.abs(dx) <= r) & (jnp.abs(dy) <= r) & (power <= 0.0)
+        g = jnp.where(inside, jnp.exp(power), 0.0)
+    else:
+        cx = params[..., 0:1]
+        cy = params[..., 1:2]
+        dx = px_vp - cx
+        dy = py_vp - cy
+        e1x = params[..., 2:3]
+        e1y = params[..., 3:4]
+        b1 = params[..., 4:5]
+        b2 = params[..., 5:6]
+        safe1 = jnp.maximum(b1, 1e-12)
+        safe2 = jnp.maximum(b2, 1e-12)
+        u = (dx * e1x + dy * e1y) / safe1
+        v = (dx * e1y - dy * e1x) / safe2
+        inside = (jnp.abs(u) <= 1.0) & (jnp.abs(v) <= 1.0) & (b1 > 0.0)
+        g = jnp.where(inside, jnp.exp(-4.5 * (u * u + v * v)), 0.0)
+    return g
+
+
+def composite_tiles(
+    params_sorted: jnp.ndarray,  # [P, C] gathered into pair order
+    pair_valid: jnp.ndarray,  # [P]
+    tile_start: jnp.ndarray,  # [T]
+    tile_end: jnp.ndarray,  # [T]
+    settings: CloudSettings,
+    width: int,
+    height: int,
+    k_max: int,
+    chunk: int = 64,
+    background: Optional[jnp.ndarray] = None,
+    differentiable: bool = True,
+) -> jnp.ndarray:
+    """Front-to-back chunked compositing over all tiles -> [H, W, 4].
+
+    ``differentiable=True`` runs a fixed k_max/chunk ``lax.scan`` (XLA AD can
+    differentiate it); ``False`` uses a ``lax.while_loop`` bounded by the
+    *actual* maximum per-tile splat count and an all-pixels-saturated early
+    exit — much faster forward-only, not differentiable."""
+    tx_count = width // TILE
+    ty_count = height // TILE
+    num_tiles = tx_count * ty_count
+    p_max = params_sorted.shape[0]
+    c_params = params_sorted.shape[1]
+
+    # per-tile pixel coordinates [T, 256]
+    js = jnp.arange(width, dtype=jnp.float32) + 0.5
+    is_ = jnp.arange(height, dtype=jnp.float32) + 0.5
+    px_ndc_row = js * (2.0 / width) - 1.0  # [W]
+    py_ndc_col = 1.0 - is_ * (2.0 / height)  # [H]
+    px_ndc = jnp.broadcast_to(px_ndc_row, (height, width))
+    py_ndc = jnp.broadcast_to(py_ndc_col[:, None], (height, width))
+
+    def to_tiles(a):  # [H, W] -> [T, 256]
+        return (
+            a.reshape(ty_count, TILE, tx_count, TILE)
+            .transpose(0, 2, 1, 3)
+            .reshape(num_tiles, TILE * TILE)
+        )
+
+    tpx_ndc = to_tiles(px_ndc)[:, None, :]  # [T, 1, 256]
+    tpy_ndc = to_tiles(py_ndc)[:, None, :]
+    tpx_vp = tpx_ndc * width
+    tpy_vp = tpy_ndc * height
+
+    count = jnp.minimum(tile_end - tile_start, k_max)  # [T]
+    n_chunks = (k_max + chunk - 1) // chunk
+
+    # pad params so out-of-range gathers are inert (alpha 0)
+    params_padded = jnp.concatenate(
+        [params_sorted * pair_valid[:, None].astype(params_sorted.dtype),
+         jnp.zeros((1, c_params), params_sorted.dtype)],
+        axis=0,
+    )
+
+    rgb_off = c_params - 4
+
+    def blend_chunk(carry, chunk_idx):
+        accum, transmittance = carry  # [T, 256, 3], [T, 256]
+        base = tile_start + chunk_idx * chunk
+        idx = base[:, None] + jnp.arange(chunk, dtype=jnp.int32)[None, :]  # [T, C]
+        in_range = (jnp.arange(chunk)[None, :] + chunk_idx * chunk) < count[:, None]
+        idx = jnp.where(in_range, idx, p_max)  # out-of-range -> zero pad row
+        p = params_padded[idx]  # [T, C, c_params]
+
+        # broadcasting: params[..., k:k+1] is [T, C, 1] against pixels [T, 1, 256]
+        g = _eval_chunk_gaussian(
+            p, tpx_vp, tpy_vp, tpx_ndc, tpy_ndc, settings, width, height
+        )  # [T, C, 256]
+
+        alpha = jnp.minimum(g * p[:, :, rgb_off + 3 : rgb_off + 4], ALPHA_CAP)
+        one_minus = 1.0 - alpha
+        # exclusive cumulative transmittance within the chunk (front-to-back)
+        cum = jnp.cumprod(one_minus, axis=1)
+        excl = jnp.concatenate([jnp.ones_like(cum[:, :1]), cum[:, :-1]], axis=1)
+        w = alpha * excl * transmittance[:, None, :]  # [T, C, 256]
+        rgb = p[:, :, rgb_off : rgb_off + 3]  # [T, C, 3]
+        accum = accum + jnp.einsum(
+            "tcp,tck->tpk", w, rgb, precision=jax.lax.Precision.HIGHEST
+        )
+        transmittance = transmittance * cum[:, -1, :]
+        return (accum, transmittance), None
+
+    accum0 = jnp.zeros((num_tiles, TILE * TILE, 3), jnp.float32)
+    trans0 = jnp.ones((num_tiles, TILE * TILE), jnp.float32)
+    if differentiable:
+        (accum, transmittance), _ = jax.lax.scan(
+            blend_chunk, (accum0, trans0), jnp.arange(n_chunks, dtype=jnp.int32)
+        )
+    else:
+        needed_chunks = jnp.minimum(
+            (jnp.max(count) + chunk - 1) // chunk, n_chunks
+        ).astype(jnp.int32)
+
+        def w_cond(state):
+            i, (_, transmittance) = state
+            # stop when every pixel is saturated (early termination analogue of
+            # the fragment blend's transmittance cutoff)
+            return (i < needed_chunks) & (jnp.max(transmittance) > 1.0 / 255.0)
+
+        def w_body(state):
+            i, carry = state
+            carry, _ = blend_chunk(carry, i)
+            return i + 1, carry
+
+        _, (accum, transmittance) = jax.lax.while_loop(
+            w_cond, w_body, (jnp.int32(0), (accum0, trans0))
+        )
+
+    alpha_out = 1.0 - transmittance
+    if background is not None:
+        accum = accum + transmittance[..., None] * background[:3]
+        alpha_out = alpha_out + transmittance * background[3]
+
+    tile_img = jnp.concatenate([accum, alpha_out[..., None]], axis=-1)  # [T, 256, 4]
+    img = (
+        tile_img.reshape(ty_count, tx_count, TILE, TILE, 4)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(height, width, 4)
+    )
+    return img
+
+
+# ---------------------------------------------------------------------------
+# Full pipeline
+# ---------------------------------------------------------------------------
+
+
+def render_tiled(
+    cloud,
+    camera: Camera,
+    settings: CloudSettings,
+    model_transform: Optional[jnp.ndarray] = None,
+    background: Optional[jnp.ndarray] = None,
+    time=None,
+    width: Optional[int] = None,
+    height: Optional[int] = None,
+    chunk: int = 64,
+    differentiable: bool = True,
+) -> jnp.ndarray:
+    if model_transform is None:
+        model_transform = jnp.eye(4, dtype=jnp.float32)
+    if width is None:
+        width = int(camera.viewport[2])
+    if height is None:
+        height = int(camera.viewport[3])
+    if width % TILE or height % TILE:
+        raise ValueError(f"image size must be a multiple of {TILE}")
+
+    n = len(cloud)
+    clip_from_world = camera.clip_from_view @ camera.view_from_world
+
+    # depth-mode min/max needs the back-to-front order (reference quirk,
+    # gaussian.wgsl:329-347)
+    keys, order = sort_ops.sort_gaussians_radix(
+        cloud.position, model_transform, clip_from_world, camera.world_position,
+        settings.radix_sort_depth_bits.bits,
+    )
+    from bevy_gaussian_splatting_tpu.ops.transforms import apply_transform
+
+    wp = apply_transform(model_transform, cloud.position)
+    first_idx = order[min(1, n - 1)]
+    last_idx = order[n - 1]
+    max_d = jnp.linalg.norm(wp[first_idx] - camera.world_position)
+    min_d = jnp.linalg.norm(wp[last_idx] - camera.world_position)
+
+    splats = project_gaussians(
+        cloud, camera, settings, model_transform,
+        depth_minmax=(min_d, max_d), time=time,
+    )
+    # the device radix keys: used for (a) sentinel culling exactly like the
+    # GPU sort and (b) the per-pair front-to-back ordering (quantized to the
+    # configured radix width for tie parity with the reference)
+    back_key = sort_ops.radix_depth_key(
+        cloud.position, model_transform, clip_from_world, camera.world_position,
+        settings.radix_sort_depth_bits.bits,
+    )
+    splats["sort_key"] = back_key
+    splats["mask"] = splats["mask"] & (back_key != sort_ops.SENTINEL_KEY)
+
+    p_max = pairs_budget(n)
+    k_max = tile_budget(n)
+    g_s, tile_s, valid_s, _ = bin_gaussians(splats, settings, width, height, p_max)
+    params = pack_raster_params(splats, settings, width, height)
+    params_sorted = params[g_s]
+    start, end = tile_ranges(tile_s, (width // TILE) * (height // TILE))
+
+    return composite_tiles(
+        params_sorted, valid_s, start, end, settings, width, height,
+        k_max=k_max, chunk=chunk, background=background,
+        differentiable=differentiable,
+    )
+
+
+def make_tiled_pipeline(
+    settings: CloudSettings, width: int, height: int, differentiable: bool = False
+):
+    """Jitted forward pipeline. Default is the fast non-differentiable
+    while_loop compositor (rendering/serving); pass differentiable=True for the
+    AD-capable scan (training paths use the custom-VJP kernel instead)."""
+
+    def fn(cloud, camera, model_transform, background, time):
+        return render_tiled(
+            cloud, camera, settings, model_transform, background, time,
+            width=width, height=height, differentiable=differentiable,
+        )
+
+    return jax.jit(fn)

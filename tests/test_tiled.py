@@ -1,0 +1,147 @@
+"""Tiled production renderer parity tests: image and gradient allclose vs the
+oracle (BASELINE.json's correctness bar)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import bevy_gaussian_splatting_tpu as bgs
+from bevy_gaussian_splatting_tpu.models.settings import (
+    GaussianMode,
+    RadixSortDepthBits,
+    RasterizeMode,
+)
+from bevy_gaussian_splatting_tpu.ops.rasterize_ref import render_oracle
+from bevy_gaussian_splatting_tpu.ops.rasterize_tile import (
+    bin_gaussians,
+    render_tiled,
+    tile_ranges,
+)
+
+
+def _np(x):
+    return np.asarray(x)
+
+
+CAM = bgs.Camera.create(eye=(0.0, 0.0, 60.0), target=(0.0, 0.0, 0.0), width=128, height=128)
+CLOUD = bgs.random_gaussians_3d_seeded(400, seed=1)
+
+
+def assert_parity(cloud, cam, settings, atol=2e-5, **kw):
+    a = _np(render_oracle(cloud, cam, settings, **kw))
+    b = _np(render_tiled(cloud, cam, settings, **kw))
+    np.testing.assert_allclose(b, a, atol=atol)
+
+
+class TestImageParity:
+    def test_obb_default(self):
+        assert_parity(CLOUD, CAM, bgs.CloudSettings())
+
+    def test_aabb(self):
+        assert_parity(CLOUD, CAM, bgs.CloudSettings(aabb=True))
+
+    def test_aabb_no_adaptive(self):
+        assert_parity(CLOUD, CAM, bgs.CloudSettings(aabb=True, opacity_adaptive_radius=False))
+
+    def test_2dgs(self):
+        assert_parity(CLOUD, CAM, bgs.CloudSettings(gaussian_mode=GaussianMode.GAUSSIAN_2D))
+
+    def test_16bit_keys(self):
+        assert_parity(
+            CLOUD, CAM, bgs.CloudSettings(radix_sort_depth_bits=RadixSortDepthBits.BITS_16)
+        )
+
+    def test_depth_mode(self):
+        assert_parity(CLOUD, CAM, bgs.CloudSettings(rasterize_mode=RasterizeMode.DEPTH))
+
+    def test_background(self):
+        assert_parity(
+            CLOUD, CAM, bgs.CloudSettings(),
+            background=jnp.array([0.3, 0.2, 0.1, 1.0]),
+        )
+
+    def test_4d(self):
+        c4 = bgs.random_gaussians_4d_seeded(100, seed=2)
+        cam = bgs.Camera.create(eye=(0, 0, 60.0), target=(0, 0, 0), width=64, height=64)
+        assert_parity(
+            c4, cam, bgs.CloudSettings(gaussian_mode=GaussianMode.GAUSSIAN_4D, time=0.5)
+        )
+
+    def test_partial_frustum(self):
+        # camera inside the cloud: heavy frustum culling exercises the
+        # sentinel path (regression for the sorted/unsorted mask mixup)
+        cam = bgs.Camera.create(eye=(0, 0, 5.0), target=(0, 0, 0), width=64, height=64)
+        assert_parity(CLOUD, cam, bgs.CloudSettings())
+
+    def test_model_transform(self):
+        mt = jnp.array(
+            [
+                [0.8, 0.0, 0.6, 1.0],
+                [0.0, 1.0, 0.0, -2.0],
+                [-0.6, 0.0, 0.8, 0.5],
+                [0.0, 0.0, 0.0, 1.0],
+            ],
+            jnp.float32,
+        )
+        assert_parity(CLOUD, CAM, bgs.CloudSettings(), model_transform=mt)
+
+    def test_jit_pipeline(self):
+        from bevy_gaussian_splatting_tpu.ops.rasterize_tile import make_tiled_pipeline
+
+        pipe = make_tiled_pipeline(bgs.CloudSettings(), 128, 128)
+        img = pipe(CLOUD, CAM, jnp.eye(4), jnp.zeros(4), jnp.float32(0.0))
+        ref = render_oracle(CLOUD, CAM, bgs.CloudSettings())
+        np.testing.assert_allclose(_np(img), _np(ref), atol=2e-5)
+
+
+class TestBinning:
+    def test_pair_ranges_are_consistent(self):
+        from bevy_gaussian_splatting_tpu.ops import sort as sort_ops
+        from bevy_gaussian_splatting_tpu.ops.project import project_gaussians
+
+        settings = bgs.CloudSettings()
+        mt = jnp.eye(4)
+        cfw = CAM.clip_from_view @ CAM.view_from_world
+        splats = project_gaussians(CLOUD, CAM, settings, mt)
+        splats["sort_key"] = sort_ops.radix_depth_key(
+            CLOUD.position, mt, cfw, CAM.world_position, 32
+        )
+        g_s, tile_s, valid_s, total = bin_gaussians(splats, settings, 128, 128, 1 << 14)
+        num_tiles = (128 // 16) * (128 // 16)
+        start, end = tile_ranges(tile_s, num_tiles)
+        start, end, tile_s, valid_s = map(_np, (start, end, tile_s, valid_s))
+        # ranges tile the valid prefix
+        assert int(valid_s.sum()) == int(total)
+        assert (end - start).sum() == int(total)
+        # every valid pair's tile id within range, sorted ascending
+        v = tile_s[valid_s]
+        assert (np.diff(v) >= 0).all()
+        assert v.min() >= 0 and v.max() < num_tiles
+
+
+class TestGradientParity:
+    def test_grad_matches_oracle(self):
+        cloud = bgs.random_gaussians_3d_seeded(64, seed=3)
+        cloud = dataclasses.replace(
+            cloud, scale_opacity=cloud.scale_opacity * jnp.array([1.0, 2.0, 0.5, 1.0])
+        )
+        cam = bgs.Camera.create(eye=(0, 0, 60.0), target=(0, 0, 0), width=64, height=64)
+        settings = bgs.CloudSettings(aabb=True)
+        target = _np(render_oracle(cloud, cam, settings)) * 0.9
+
+        def loss_oracle(c):
+            return jnp.mean((render_oracle(c, cam, settings) - target) ** 2)
+
+        def loss_tiled(c):
+            return jnp.mean((render_tiled(c, cam, settings) - target) ** 2)
+
+        go = jax.grad(loss_oracle)(cloud)
+        gt = jax.grad(loss_tiled)(cloud)
+        for f in ("position_visibility", "spherical_harmonic", "rotation", "scale_opacity"):
+            a, b = _np(getattr(go, f)), _np(getattr(gt, f))
+            scale = np.abs(a).max() + 1e-12
+            np.testing.assert_allclose(b, a, atol=2e-4 * scale, err_msg=f)
+            assert np.abs(a).max() > 0, f
