@@ -35,6 +35,21 @@ def load_cloud(path: str) -> Union[Gaussian3dCloud, Gaussian4dCloud]:
     raise ValueError(f"unsupported cloud extension {ext!r} for {path}")
 
 
+def load_scene(path: str):
+    """Load a KHR_gaussian_splatting glTF/GLB scene (src/io/scene.rs:206-226)."""
+    from bevy_gaussian_splatting_tpu.io.scene import load_khr_gaussian_scene
+
+    return load_khr_gaussian_scene(path)
+
+
+def load_any(path: str):
+    """Extension dispatch across clouds and scenes; scenes return GaussianScene."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext in (".gltf", ".glb"):
+        return load_scene(path)
+    return load_cloud(path)
+
+
 def save_cloud(cloud, path: str) -> int:
     """CloudCodec::write_to_file equivalent (src/io/codec.rs:8-17). Returns the
     byte count written."""

@@ -366,8 +366,20 @@ def composite_tiles(
 
     alpha_out = 1.0 - transmittance
     if background is not None:
-        accum = accum + transmittance[..., None] * background[:3]
-        alpha_out = alpha_out + transmittance * background[3]
+        if background.ndim == 1:
+            bg_rgb = background[:3]
+            bg_a = background[3]
+        else:
+            # full-image background [H, W, 4] (multi-cloud phase compositing)
+            bg_tiles = (
+                background.reshape(ty_count, TILE, tx_count, TILE, 4)
+                .transpose(0, 2, 1, 3, 4)
+                .reshape(num_tiles, TILE * TILE, 4)
+            )
+            bg_rgb = bg_tiles[..., :3]
+            bg_a = bg_tiles[..., 3]
+        accum = accum + transmittance[..., None] * bg_rgb
+        alpha_out = alpha_out + transmittance * bg_a
 
     tile_img = jnp.concatenate([accum, alpha_out[..., None]], axis=-1)  # [T, 256, 4]
     img = (

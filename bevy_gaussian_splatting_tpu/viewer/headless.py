@@ -21,6 +21,8 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--input-cloud", type=str, default=None,
                    help=".ply/.gcloud/.ply4d/.gc4d/.npz cloud file (utils.rs input_cloud)")
+    p.add_argument("--input-scene", type=str, default=None,
+                   help=".gltf/.glb KHR_gaussian_splatting scene (utils.rs input_scene)")
     p.add_argument("--gaussian-count", type=int, default=10_000,
                    help="random cloud size when no input file (utils.rs gaussian_count)")
     p.add_argument("--seed", type=int, default=0, help="random cloud seed")
@@ -70,7 +72,13 @@ def main(argv=None) -> int:
     from bevy_gaussian_splatting_tpu.render.api import render
     from bevy_gaussian_splatting_tpu.utils.image import non_black_pixel_count, save_png
 
-    if args.input_cloud:
+    scene = None
+    if args.input_scene:
+        from bevy_gaussian_splatting_tpu.io.loader import load_scene
+
+        scene = load_scene(args.input_scene)
+        cloud = None
+    elif args.input_cloud:
         cloud = load_cloud(args.input_cloud)
         if isinstance(cloud, bgs.Gaussian4dCloud):
             args.gaussian_mode = "gaussian_4d"
@@ -92,24 +100,39 @@ def main(argv=None) -> int:
         global_scale=args.global_scale,
         global_opacity=args.global_opacity,
     )
-    camera = bgs.Camera.create(
-        eye=tuple(args.eye), target=tuple(args.target),
-        width=args.width, height=args.height,
-    )
+    camera = None
+    if scene is not None:
+        from bevy_gaussian_splatting_tpu.render.scene import camera_from_scene
+
+        camera = camera_from_scene(scene, args.width, args.height)
+        if camera is not None:
+            print("using scene camera", flush=True)
+    if camera is None:
+        camera = bgs.Camera.create(
+            eye=tuple(args.eye), target=tuple(args.target),
+            width=args.width, height=args.height,
+        )
     background = jnp.asarray(args.background, jnp.float32)
 
+    def draw():
+        if scene is not None:
+            from bevy_gaussian_splatting_tpu.render.scene import render_scene
+
+            return render_scene(scene, camera, background=background, impl=args.impl)
+        return render(cloud, camera, settings, background=background, impl=args.impl)
+
     t0 = _time.perf_counter()
-    image = render(cloud, camera, settings, background=background, impl=args.impl)
+    image = draw()
     image.block_until_ready()
     t1 = _time.perf_counter()
     print(f"first frame (incl. compile): {t1 - t0:.3f}s")
 
     if args.benchmark:
         for _ in range(3):  # warmup
-            render(cloud, camera, settings, background=background, impl=args.impl).block_until_ready()
+            draw().block_until_ready()
         t2 = _time.perf_counter()
         for _ in range(args.benchmark):
-            image = render(cloud, camera, settings, background=background, impl=args.impl)
+            image = draw()
         image.block_until_ready()
         t3 = _time.perf_counter()
         per_frame = (t3 - t2) / args.benchmark

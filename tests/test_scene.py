@@ -1,0 +1,189 @@
+"""KHR_gaussian_splatting scene IO tests.
+
+Round-trip tests plus conformance checks against the reference's fixture files
+(read directly from /root/reference/tests/fixtures — spec-describing test DATA,
+skipped when unavailable). Reference analogue: tests/khr_loader_conformance.rs.
+"""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import bevy_gaussian_splatting_tpu as bgs
+from bevy_gaussian_splatting_tpu.io.scene import (
+    GaussianScene,
+    SceneCamera,
+    SceneCloud,
+    SceneError,
+    encode_khr_gaussian_scene_glb_bytes,
+    encode_khr_gaussian_scene_gltf_bytes,
+    load_khr_gaussian_scene,
+)
+from bevy_gaussian_splatting_tpu.models.settings import CloudSettings, GaussianColorSpace
+
+FIXTURES = "/root/reference/tests/fixtures/khr_gaussian_splatting"
+
+
+def _np(x):
+    return np.asarray(x)
+
+
+def _mk_scene_cloud(n=16, seed=0, name="cloud"):
+    cloud = bgs.random_gaussians_3d_seeded(n, seed=seed)
+    return SceneCloud(
+        name=name,
+        cloud=cloud,
+        transform=np.eye(4, dtype=np.float32),
+        settings=CloudSettings(),
+        extension={},
+    )
+
+
+class TestRoundTrip:
+    def _assert_cloud_roundtrip(self, a, b, atol=1e-5):
+        np.testing.assert_allclose(_np(b.position), _np(a.position), atol=atol)
+        # rotations are exported normalized
+        qa = _np(a.rotation)
+        qa = qa / np.linalg.norm(qa, axis=1, keepdims=True)
+        np.testing.assert_allclose(_np(b.rotation), qa, atol=atol)
+        np.testing.assert_allclose(_np(b.scale), _np(a.scale), rtol=1e-4)
+        np.testing.assert_allclose(_np(b.opacity), _np(a.opacity), atol=atol)
+        np.testing.assert_allclose(
+            _np(b.spherical_harmonic), _np(a.spherical_harmonic), atol=atol
+        )
+
+    def test_gltf_roundtrip(self):
+        sc = _mk_scene_cloud()
+        data = encode_khr_gaussian_scene_gltf_bytes([sc])
+        scene = load_khr_gaussian_scene(data)
+        assert len(scene) == 1
+        self._assert_cloud_roundtrip(sc.cloud, scene.clouds[0].cloud)
+
+    def test_glb_roundtrip_with_camera_and_transform(self):
+        sc = _mk_scene_cloud()
+        t = np.eye(4, dtype=np.float32)
+        t[:3, 3] = [1.0, 2.0, 3.0]
+        sc.transform = t
+        cam = SceneCamera(
+            name="export_camera", transform=t, yfov_radians=0.8, znear=0.1, zfar=100.0
+        )
+        data = encode_khr_gaussian_scene_glb_bytes([sc], cam)
+        assert data[:4] == b"glTF"
+        scene = load_khr_gaussian_scene(data)
+        assert len(scene) == 1
+        self._assert_cloud_roundtrip(sc.cloud, scene.clouds[0].cloud)
+        np.testing.assert_allclose(scene.clouds[0].transform, t, atol=1e-6)
+        assert len(scene.cameras) == 1
+        assert scene.cameras[0].name == "export_camera"
+        assert abs(scene.cameras[0].yfov_radians - 0.8) < 1e-6
+        np.testing.assert_allclose(scene.cameras[0].transform, t, atol=1e-6)
+
+    def test_multi_cloud_scene(self):
+        scs = [_mk_scene_cloud(8, seed=i, name=f"c{i}") for i in range(3)]
+        scene = load_khr_gaussian_scene(encode_khr_gaussian_scene_glb_bytes(scs))
+        assert len(scene) == 3
+
+    def test_export_empty_raises(self):
+        with pytest.raises(SceneError):
+            encode_khr_gaussian_scene_gltf_bytes([])
+
+    def test_zero_rotation_gaussians_dropped_on_export(self):
+        sc = _mk_scene_cloud(4)
+        import dataclasses
+
+        rot = _np(sc.cloud.rotation).copy()
+        rot[1] = 0.0  # invalid rotation dropped at export (scene.rs:800-860)
+        sc.cloud = dataclasses.replace(sc.cloud, rotation=jnp.asarray(rot))
+        scene = load_khr_gaussian_scene(encode_khr_gaussian_scene_gltf_bytes([sc]))
+        assert len(scene.clouds[0].cloud) == 3
+
+    def test_loader_dispatch_glb(self, tmp_path):
+        from bevy_gaussian_splatting_tpu.io.scene import write_khr_gaussian_scene_glb
+
+        sc = _mk_scene_cloud()
+        p = str(tmp_path / "scene.glb")
+        nbytes = write_khr_gaussian_scene_glb([sc], p)
+        assert nbytes > 0
+        scene = load_khr_gaussian_scene(p)
+        assert len(scene) == 1
+
+
+class TestValidation:
+    def test_mode_must_be_points(self):
+        sc = _mk_scene_cloud()
+        import json
+
+        root = json.loads(encode_khr_gaussian_scene_gltf_bytes([sc]))
+        root["meshes"][0]["primitives"][0]["mode"] = 4
+        with pytest.raises(SceneError, match="mode must be POINTS"):
+            load_khr_gaussian_scene(json.dumps(root).encode())
+
+    def test_extension_must_be_listed(self):
+        sc = _mk_scene_cloud()
+        import json
+
+        root = json.loads(encode_khr_gaussian_scene_gltf_bytes([sc]))
+        root["extensionsUsed"] = []
+        with pytest.raises(SceneError, match="extensionsUsed"):
+            load_khr_gaussian_scene(json.dumps(root).encode())
+
+    def test_missing_required_attribute(self):
+        sc = _mk_scene_cloud()
+        import json
+
+        root = json.loads(encode_khr_gaussian_scene_gltf_bytes([sc]))
+        del root["meshes"][0]["primitives"][0]["attributes"]["KHR_gaussian_splatting:OPACITY"]
+        with pytest.raises(SceneError, match="OPACITY"):
+            load_khr_gaussian_scene(json.dumps(root).encode())
+
+    def test_partial_sh_degree_rejected(self):
+        sc = _mk_scene_cloud()
+        import json
+
+        root = json.loads(encode_khr_gaussian_scene_gltf_bytes([sc]))
+        attrs = root["meshes"][0]["primitives"][0]["attributes"]
+        del attrs["KHR_gaussian_splatting:SH_DEGREE_1_COEF_1"]
+        with pytest.raises(SceneError, match="degree 1"):
+            load_khr_gaussian_scene(json.dumps(root).encode())
+
+
+@pytest.mark.skipif(not os.path.isdir(FIXTURES), reason="reference fixtures unavailable")
+class TestReferenceConformanceFixtures:
+    """Load the reference repo's conformance fixtures (spec test data)."""
+
+    def test_matrix_gltf_and_glb_agree(self):
+        gltf = load_khr_gaussian_scene(os.path.join(FIXTURES, "khr_conformance_matrix.gltf"))
+        glb = load_khr_gaussian_scene(os.path.join(FIXTURES, "khr_conformance_matrix.glb"))
+        assert len(gltf) == len(glb) > 0
+        assert len(gltf.cameras) == 1
+        assert gltf.cameras[0].name == "fixture_camera"
+        for a, b in zip(gltf.clouds, glb.clouds):
+            np.testing.assert_allclose(
+                _np(a.cloud.position_visibility), _np(b.cloud.position_visibility), atol=1e-6
+            )
+            np.testing.assert_allclose(
+                _np(a.cloud.spherical_harmonic), _np(b.cloud.spherical_harmonic), atol=1e-6
+            )
+            np.testing.assert_allclose(
+                _np(a.cloud.scale_opacity), _np(b.cloud.scale_opacity), atol=1e-6
+            )
+        # every case decodes exactly one gaussian (khr_loader_conformance.rs:296-299)
+        for sc in gltf.clouds:
+            assert len(sc.cloud) == 1
+            assert np.isfinite(_np(sc.cloud.scale)).all()
+            assert (_np(sc.cloud.scale) > 0).all()  # exp-activated
+            op = float(sc.cloud.opacity[0])
+            assert 0.0 <= op <= 1.0
+            q = _np(sc.cloud.rotation)[0]
+            assert abs(np.linalg.norm(q) - 1.0) < 1e-4
+
+    def test_color0_fallback_fixture(self):
+        scene = load_khr_gaussian_scene(os.path.join(FIXTURES, "khr_extensible_fallback.gltf"))
+        assert len(scene) == 1
+        assert len(scene.cameras) == 0
+        sh = _np(scene.clouds[0].cloud.spherical_harmonic)
+        # COLOR_0 fallback: sh0 = color / 0.282095, higher coeffs zero
+        assert np.abs(sh[:, :3]).max() > 0
+        assert np.abs(sh[:, 3:]).max() == 0
