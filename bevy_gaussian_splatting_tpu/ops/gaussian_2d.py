@@ -98,7 +98,9 @@ def surfel_bounding_radius(extent: jnp.ndarray, cutoff: jnp.ndarray) -> jnp.ndar
     """max_radius in the reference's doubled pixel units; the quad spans
     +- max_radius/2 true pixels around the projected center
     (gaussian_2d.wgsl:44-75)."""
-    radius = jnp.sqrt(jnp.maximum(extent, 0.0))
+    from bevy_gaussian_splatting_tpu.ops.covariance import safe_sqrt
+
+    radius = safe_sqrt(extent)
     return jnp.maximum(
         jnp.maximum(radius[..., 0], radius[..., 1]), cutoff * FILTER_SIZE
     )

@@ -341,8 +341,14 @@ def composite_tiles(
     accum0 = jnp.zeros((num_tiles, TILE * TILE, 3), jnp.float32)
     trans0 = jnp.ones((num_tiles, TILE * TILE), jnp.float32)
     if differentiable:
+        # remat each chunk: the backward pass re-evaluates the chunk's alphas
+        # instead of storing [T, C, 256] residuals per chunk (which is O(k_max)
+        # HBM — prohibitive at 1M gaussians). This is the recompute-in-reverse
+        # strategy of the hand-derived 3DGS backward, expressed via checkpoint.
         (accum, transmittance), _ = jax.lax.scan(
-            blend_chunk, (accum0, trans0), jnp.arange(n_chunks, dtype=jnp.int32)
+            jax.checkpoint(blend_chunk),
+            (accum0, trans0),
+            jnp.arange(n_chunks, dtype=jnp.int32),
         )
     else:
         needed_chunks = jnp.minimum(

@@ -1,0 +1,270 @@
+"""Multi-chip sharded rendering and training over a ``jax.sharding.Mesh``.
+
+The reference is single-GPU (SURVEY.md §2.9); this layer is new work designed
+for TPU meshes per BASELINE.json:
+
+  - **primitive-parallel**: gaussians shard across the ``tiles`` mesh axis;
+    projection (the vs_points-equivalent math) runs on local shards only.
+  - **pixel-parallel**: after a ``lax.all_gather`` of the compact projected
+    splat parameters over ICI, each device bins and composites only its own
+    horizontal band of tile rows — the sort/bin work shards with the rows.
+  - **camera-parallel**: an optional leading mesh axis batches cameras
+    (replaces the reference's per-camera sorted-entry chunks,
+    src/sort/mod.rs:347-354).
+
+Communication pattern (fwd): one all-gather of [N, ~14] f32 splat params per
+frame (≪ raw cloud bytes — SH coefficients never cross ICI; color is evaluated
+before the gather).  Backward: the transpose (reduce-scatter) runs
+automatically under ``shard_map`` + ``jax.grad``, overlapping with the per-band
+backward compositing.
+
+Training: ``make_train_step`` builds a jitted, sharded photometric-loss step
+(L2 on linear premultiplied RGBA) with optax, gradients flowing through the
+differentiable tiled compositor.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from bevy_gaussian_splatting_tpu.models.camera import Camera
+from bevy_gaussian_splatting_tpu.models.cloud import Gaussian3dCloud
+from bevy_gaussian_splatting_tpu.models.settings import CloudSettings
+from bevy_gaussian_splatting_tpu.ops import sort as sort_ops
+from bevy_gaussian_splatting_tpu.ops.project import project_gaussians
+from bevy_gaussian_splatting_tpu.ops.rasterize_tile import (
+    TILE,
+    bin_gaussians,
+    composite_tiles,
+    pack_raster_params,
+    pairs_budget,
+    tile_budget,
+    tile_ranges,
+)
+
+TILES_AXIS = "tiles"
+CAMERA_AXIS = "camera"
+
+
+def make_mesh(n_devices: Optional[int] = None, camera_parallel: int = 1) -> Mesh:
+    """1D tiles mesh, or 2D (camera, tiles) when camera_parallel > 1."""
+    devices = np.asarray(jax.devices())
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    if camera_parallel > 1:
+        tiles = len(devices) // camera_parallel
+        return Mesh(
+            devices[: camera_parallel * tiles].reshape(camera_parallel, tiles),
+            (CAMERA_AXIS, TILES_AXIS),
+        )
+    return Mesh(devices, (TILES_AXIS,))
+
+
+def shard_cloud(cloud: Gaussian3dCloud, mesh: Mesh) -> Gaussian3dCloud:
+    """Place the cloud with gaussians sharded across the tiles axis (pad first
+    so N divides the axis size)."""
+    import math
+
+    n_shards = mesh.shape[TILES_AXIS]
+    # lane-friendly AND shard-divisible padding (non-power-of-two meshes too)
+    multiple = 256 * n_shards // math.gcd(256, n_shards)
+    padded = cloud.pad(multiple=multiple)
+    sharding = NamedSharding(mesh, P(TILES_AXIS))
+    return jax.tree.map(lambda a: jax.device_put(a, sharding), padded)
+
+
+def _local_band_render(
+    cloud_shard: Gaussian3dCloud,
+    camera: Camera,
+    settings: CloudSettings,
+    model_transform,
+    background,
+    time,
+    width: int,
+    height: int,
+    n_bands: int,
+):
+    """The shard_map body: local projection -> all-gather splats -> composite
+    this device's band of tile rows -> [height/n_bands, width, 4]."""
+    if settings.gaussian_mode.value == "gaussian_2d":
+        raise NotImplementedError(
+            "sharded rendering currently supports 3D/4D modes (2DGS band remap "
+            "needs an anisotropic ndc rescale; single-chip 2DGS is supported)"
+        )
+    band = jax.lax.axis_index(TILES_AXIS)
+    clip_from_world = camera.clip_from_view @ camera.view_from_world
+
+    # local projection on the gaussian shard
+    splats = project_gaussians(cloud_shard, camera, settings, model_transform, time=time)
+    back_key = sort_ops.radix_depth_key(
+        cloud_shard.position, model_transform, clip_from_world, camera.world_position,
+        settings.radix_sort_depth_bits.bits,
+    )
+    splats["sort_key"] = back_key
+    splats["mask"] = splats["mask"] & (back_key != sort_ops.SENTINEL_KEY)
+    params_local = pack_raster_params(splats, settings, width, height)
+
+    gathered = {
+        "params": jax.lax.all_gather(params_local, TILES_AXIS).reshape(
+            -1, params_local.shape[-1]
+        ),
+        "center_ndc": jax.lax.all_gather(splats["center_ndc"], TILES_AXIS).reshape(-1, 2),
+        "mask": jax.lax.all_gather(splats["mask"], TILES_AXIS).reshape(-1),
+        "sort_key": jax.lax.all_gather(splats["sort_key"], TILES_AXIS).reshape(-1),
+        "depth2": jax.lax.all_gather(splats["depth2"], TILES_AXIS).reshape(-1),
+    }
+    # rebuild the minimal splat dict for binning on the gathered set
+    g_splats = {
+        "mask": gathered["mask"],
+        "center_ndc": gathered["center_ndc"],
+        "sort_key": gathered["sort_key"],
+        "depth2": gathered["depth2"],
+    }
+    # bbox extents come from packed params (mode-independent slots 0..5)
+    if settings.aabb:
+        g_splats["conic"] = gathered["params"][:, 2:5]
+        g_splats["radius_vp"] = gathered["params"][:, 5]
+    else:
+        g_splats["obb_axis"] = gathered["params"][:, 2:4]
+        g_splats["obb_bounds"] = gathered["params"][:, 4:6]
+
+    band_h = height // n_bands
+    n_total = g_splats["mask"].shape[0]
+
+    # Remap splat centers into this band's local NDC frame so the band renders
+    # as a standalone width x band_h image with IDENTICAL vp-unit distances:
+    # pixel py in [y0, y0+band_h) -> band py' = py - y0;
+    # ndc_band = (ndc_full - 1) * (H / band_h) + 1 + 2 * y0 / band_h, which
+    # makes (cy_band - py_band) * band_h == (cy_full - py_full) * H exactly.
+    y0_px = band.astype(jnp.float32) * band_h
+    scale_y = height / band_h
+    cy_band = (g_splats["center_ndc"][:, 1] - 1.0) * scale_y + 1.0 + 2.0 * y0_px / band_h
+    g_splats = dict(g_splats)
+    g_splats["center_ndc"] = jnp.stack(
+        [g_splats["center_ndc"][:, 0], cy_band], axis=-1
+    )
+
+    p_max = pairs_budget(n_total)
+    k_max = tile_budget(n_total)
+    g_s, tile_s, valid_s, _ = bin_gaussians(g_splats, settings, width, band_h, p_max)
+
+    # the packed params carry vp-unit centers for the FULL image; rebuild the
+    # y center for the band-local frame (col 1 = cy_vp for 3D/4D packing)
+    params_band = gathered["params"].at[:, 1].set(cy_band * band_h)
+
+    params_sorted = params_band[g_s]
+    start, end = tile_ranges(tile_s, (width // TILE) * (band_h // TILE))
+
+    img_band = composite_tiles(
+        params_sorted, valid_s, start, end, settings, width, band_h,
+        k_max=k_max, background=background, differentiable=True,
+    )
+    return img_band
+
+
+def make_sharded_render(
+    mesh: Mesh,
+    settings: CloudSettings,
+    width: int,
+    height: int,
+):
+    """Jitted sharded forward: (cloud sharded over tiles-axis, camera, ...) ->
+    full [H, W, 4] image (replicated)."""
+    n_bands = mesh.shape[TILES_AXIS]
+    if height % (n_bands * TILE):
+        raise ValueError(
+            f"height {height} must be divisible by n_bands*TILE = {n_bands * TILE}"
+        )
+
+    from jax import shard_map
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(TILES_AXIS), P(), P(), P(), P()),
+        out_specs=P(TILES_AXIS),
+        check_vma=False,
+    )
+    def body(cloud_shard, camera, model_transform, background, time):
+        return _local_band_render(
+            cloud_shard, camera, settings, model_transform, background, time,
+            width, height, n_bands,
+        )
+
+    def fn(cloud, camera, model_transform=None, background=None, time=0.0):
+        if model_transform is None:
+            model_transform = jnp.eye(4, dtype=jnp.float32)
+        if background is None:
+            background = jnp.zeros((4,), jnp.float32)
+        return body(cloud, camera, model_transform, background, jnp.float32(time))
+
+    return jax.jit(fn)
+
+
+# ---------------------------------------------------------------------------
+# Training
+# ---------------------------------------------------------------------------
+
+
+def photometric_loss(image: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean((image - target) ** 2)
+
+
+def make_train_step(
+    mesh: Mesh,
+    settings: CloudSettings,
+    width: int,
+    height: int,
+    learning_rate: float = 1e-2,
+):
+    """Sharded differentiable train step: render -> L2 loss vs target ->
+    adam update of all gaussian parameters.  Returns (step_fn, init_fn)."""
+    import optax
+
+    n_bands = mesh.shape[TILES_AXIS]
+    from jax import shard_map
+
+    optimizer = optax.adam(learning_rate)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(TILES_AXIS), P(), P(), P(TILES_AXIS)),
+        out_specs=(P(TILES_AXIS), P()),
+        check_vma=False,
+    )
+    def loss_and_grad(cloud_shard, camera, time, target_band):
+        def local_loss(shard):
+            img_band = _local_band_render(
+                shard, camera, settings, jnp.eye(4, dtype=jnp.float32),
+                jnp.zeros((4,), jnp.float32), time, width, height, n_bands,
+            )
+            # differentiate only THIS band's error term: the all_gather
+            # transpose (psum-scatter) already accumulates every band's
+            # contribution into the shard gradient exactly once.  psum-ing the
+            # loss before grad would scale gradients by the axis size.
+            return jnp.sum((img_band - target_band) ** 2) / (height * width * 4)
+
+        loss_local, grads = jax.value_and_grad(local_loss)(cloud_shard)
+        loss = jax.lax.psum(loss_local, TILES_AXIS)
+        return grads, loss
+
+    def init(cloud):
+        return optimizer.init(cloud)
+
+    def step(cloud, opt_state, camera, target, time=0.0):
+        grads, loss = loss_and_grad(
+            cloud, camera, jnp.float32(time), target
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, cloud)
+        cloud = optax.apply_updates(cloud, updates)
+        return cloud, opt_state, loss
+
+    return jax.jit(step), init

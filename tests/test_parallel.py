@@ -1,0 +1,141 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh (SURVEY.md §4.5).
+
+Checks: sharded render == single-device tiled render (collective identity),
+sharded gradients match single-device gradients, train step reduces loss,
+same-seed determinism.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import bevy_gaussian_splatting_tpu as bgs
+from bevy_gaussian_splatting_tpu.ops.rasterize_tile import render_tiled
+from bevy_gaussian_splatting_tpu.parallel.render import (
+    make_mesh,
+    make_sharded_render,
+    make_train_step,
+    shard_cloud,
+)
+
+
+def _np(x):
+    return np.asarray(x)
+
+
+W = H = 128
+CAM = bgs.Camera.create(eye=(0.0, 0.0, 60.0), target=(0.0, 0.0, 0.0), width=W, height=H)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 cpu devices"
+    return make_mesh(8)
+
+
+class TestShardedRender:
+    def _compare(self, settings, n=300, seed=1, atol=3e-5):
+        cloud = bgs.random_gaussians_3d_seeded(n, seed=seed)
+        mesh = make_mesh(8)
+        sharded = shard_cloud(cloud, mesh)
+        fn = make_sharded_render(mesh, settings, W, H)
+        img = fn(sharded, CAM)
+        # reference: single-device tiled render on the same padded cloud
+        padded = cloud.pad(multiple=max(256, 8 * 8))
+        ref = render_tiled(padded, CAM, settings, width=W, height=H)
+        np.testing.assert_allclose(_np(img), _np(ref), atol=atol)
+
+    def test_obb_default(self, mesh):
+        self._compare(bgs.CloudSettings())
+
+    def test_aabb(self, mesh):
+        self._compare(bgs.CloudSettings(aabb=True))
+
+    def test_larger_cloud(self, mesh):
+        self._compare(bgs.CloudSettings(), n=2000, seed=3)
+
+    def test_deterministic(self, mesh):
+        cloud = bgs.random_gaussians_3d_seeded(200, seed=2)
+        sharded = shard_cloud(cloud, mesh)
+        fn = make_sharded_render(mesh, bgs.CloudSettings(), W, H)
+        a = _np(fn(sharded, CAM))
+        b = _np(fn(sharded, CAM))
+        np.testing.assert_array_equal(a, b)
+
+
+class TestShardedTraining:
+    def test_loss_decreases_and_grads_match(self, mesh):
+        settings = bgs.CloudSettings(aabb=True)
+        target_cloud = bgs.random_gaussians_3d_seeded(120, seed=7)
+        padded_target = target_cloud.pad(multiple=max(256, 8 * 8))
+        target = render_tiled(padded_target, CAM, settings, width=W, height=H)
+
+        start_cloud = dataclasses.replace(
+            target_cloud,
+            position_visibility=target_cloud.position_visibility
+            + jnp.array([0.5, 0.0, 0.0, 0.0]),
+        )
+        sharded = shard_cloud(start_cloud, mesh)
+        step, init = make_train_step(mesh, settings, W, H, learning_rate=5e-3)
+        opt_state = init(sharded)
+
+        losses = []
+        cloud = sharded
+        for _ in range(8):
+            cloud, opt_state, loss = step(cloud, opt_state, CAM, target)
+            losses.append(float(loss))
+        assert losses[-1] < losses[0] * 0.9, losses
+
+    def test_sharded_grads_match_single_device(self, mesh):
+        settings = bgs.CloudSettings(aabb=True)
+        cloud = bgs.random_gaussians_3d_seeded(100, seed=9)
+        padded = cloud.pad(multiple=max(256, 8 * 8))
+        target = render_tiled(padded, CAM, settings, width=W, height=H) * 0.9
+
+        def single_loss(c):
+            img = render_tiled(c, CAM, settings, width=W, height=H)
+            return jnp.mean((img - target) ** 2)
+
+        g_single = jax.grad(single_loss)(padded)
+
+        # sharded grads via the train-step's internal loss (extracted by one
+        # sgd step of lr 0 -> compare grads through a fresh value_and_grad)
+        from bevy_gaussian_splatting_tpu.parallel.render import (
+            TILES_AXIS,
+            _local_band_render,
+        )
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+        from functools import partial
+
+        n_bands = 8
+
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(P(TILES_AXIS), P(TILES_AXIS)),
+            out_specs=P(TILES_AXIS),
+            check_vma=False,
+        )
+        def grads_fn(cloud_shard, target_band):
+            def local_loss(shard):
+                img_band = _local_band_render(
+                    shard, CAM, settings, jnp.eye(4), jnp.zeros(4),
+                    jnp.float32(0.0), W, H, n_bands,
+                )
+                # local band term only; gather transpose sums across devices
+                return jnp.sum((img_band - target_band) ** 2) / (H * W * 4)
+
+            return jax.grad(local_loss)(cloud_shard)
+
+        sharded = shard_cloud(cloud, mesh)
+        g_sharded = grads_fn(sharded, target)
+
+        for f in ("position_visibility", "spherical_harmonic", "rotation", "scale_opacity"):
+            a = _np(getattr(g_single, f))
+            b = _np(getattr(g_sharded, f))
+            scale = np.abs(a).max() + 1e-12
+            np.testing.assert_allclose(b, a, atol=5e-4 * scale, err_msg=f)
