@@ -1,0 +1,265 @@
+"""Pallas TPU forward compositing kernel.
+
+Replaces the XLA chunked-scan compositor (ops/rasterize_tile.composite_tiles)
+on the hot path.  Why a kernel: the XLA formulation must run every tile through
+the same number of chunk iterations (the max over tiles), gathering fixed-size
+blocks; this kernel walks the grid one tile at a time with *per-tile* dynamic
+chunk counts (scalar-prefetched tile_start/tile_count), early-exits when every
+pixel in the tile saturates (transmittance < 1/255), and streams the sorted
+splat parameters from HBM with double-buffered async DMA.  Work drops from
+T x max_count to sum_t count_t — the reference's per-tile fragment workload.
+
+Math is identical to composite_tiles / the oracle fragment shaders:
+front-to-back premultiplied blending with within-chunk exclusive cumprod of
+(1 - alpha), alpha cap 0.999 (src/render/gaussian.wgsl:455-505).
+
+Layout (chosen for Mosaic's (8, 128) tiling):
+  params_t [PW=16, P + pad] f32 — TRANSPOSED pair-sorted splat rows
+      [cx_vp, cy_vp, a, b, c, d, rgb0, rgb1, rgb2, alpha, 0...]; a chunk DMA
+      brings [16, CHUNK] into VMEM, so each parameter is a [1, CHUNK] lane
+      vector that broadcasts against [PIX, 1] pixel columns with no transpose.
+      All alpha math runs on [PIX, CHUNK] = [256, 512] blocks: pixels in
+      sublanes, front-to-back gaussians in lanes; the blend scan is a
+      log-depth Hillis-Steele cumprod along lanes.
+  out [T*8, 256] f32 — per tile: rows 0..2 premultiplied rgb, row 3 final
+      transmittance, rows 4..7 pad (background applied by the XLA epilogue).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from bevy_gaussian_splatting_tpu.models.settings import CloudSettings, GaussianMode
+
+TILE = 16
+PIX = TILE * TILE  # 256
+PW = 16  # padded param width
+CHUNK = 512  # splats per DMA/compute chunk
+ALPHA_CAP = 0.999
+TRANS_EPS = 1.0 / 255.0
+
+
+def _tile_pixel_coords(t, tx_count: int, width: int, height: int):
+    """vp-unit pixel center coordinates for tile t -> ([PIX, 1], [PIX, 1])."""
+    tx = (t % tx_count).astype(jnp.float32)
+    ty = (t // tx_count).astype(jnp.float32)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (PIX, 1), 0)
+    px_local = (sub % TILE).astype(jnp.float32)
+    py_local = (sub // TILE).astype(jnp.float32)
+    px = tx * TILE + px_local + 0.5
+    py = ty * TILE + py_local + 0.5
+    px_vp = (px * (2.0 / width) - 1.0) * width
+    py_vp = (1.0 - py * (2.0 / height)) * height
+    return px_vp, py_vp
+
+
+def _chunk_alpha(chunk, px_vp, py_vp, aabb: bool):
+    """Gaussian alpha for a [PW, CHUNK] param block against [PIX, 1] pixels
+    -> [PIX, CHUNK].  Mirrors _eval_chunk_gaussian (3D/4D paths)."""
+    cx = chunk[0:1, :]
+    cy = chunk[1:2, :]
+    opacity = chunk[9:10, :]
+    if aabb:
+        # conic quadratic form + quad clip (gaussian.wgsl:455-470)
+        dx = cx - px_vp
+        dy = cy - py_vp
+        power = (
+            -0.5 * (chunk[2:3, :] * dx * dx + chunk[4:5, :] * dy * dy)
+            + chunk[3:4, :] * dx * dy
+        )
+        r = chunk[5:6, :]
+        inside = (jnp.abs(dx) <= r) & (jnp.abs(dy) <= r) & (power <= 0.0)
+        g = jnp.where(inside, jnp.exp(power), 0.0)
+    else:
+        # eigen-rotated quad falloff (gaussian.wgsl:489-497)
+        dx = px_vp - cx
+        dy = py_vp - cy
+        e1x = chunk[2:3, :]
+        e1y = chunk[3:4, :]
+        b1 = chunk[4:5, :]
+        b2 = chunk[5:6, :]
+        u = (dx * e1x + dy * e1y) / jnp.maximum(b1, 1e-12)
+        v = (dx * e1y - dy * e1x) / jnp.maximum(b2, 1e-12)
+        inside = (jnp.abs(u) <= 1.0) & (jnp.abs(v) <= 1.0) & (b1 > 0.0)
+        g = jnp.where(inside, jnp.exp(-4.5 * (u * u + v * v)), 0.0)
+    return jnp.minimum(g * opacity, ALPHA_CAP)
+
+
+def _cumprod_lanes(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive cumulative product along axis 1 (lanes) via a log-depth
+    Hillis-Steele scan — jnp.cumprod has no Pallas TPU lowering."""
+    n = x.shape[1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    shift = 1
+    while shift < n:
+        rolled = pltpu.roll(x, shift, axis=1)
+        x = x * jnp.where(lane >= shift, rolled, 1.0)
+        shift *= 2
+    return x
+
+
+def _composite_kernel(
+    start_ref,  # scalar prefetch [T]
+    count_ref,  # scalar prefetch [T]
+    params_hbm,  # [PW, P_pad] in ANY/HBM
+    out_ref,  # [8, 256] VMEM block for this tile (rows 4..7 pad)
+    chunk_vmem,  # [2, PW, CHUNK] double buffer
+    sem,  # DMA semaphores [2]
+    *,
+    tx_count: int,
+    width: int,
+    height: int,
+    aabb: bool,
+    chunk_size: int = CHUNK,
+    early_exit: bool = True,
+):
+    t = pl.program_id(0)
+    start = pl.multiple_of(start_ref[t], 128)
+    count = count_ref[t]
+    px_vp, py_vp = _tile_pixel_coords(t, tx_count, width, height)
+
+    n_chunks = pl.cdiv(count, chunk_size)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk_size), 1)
+
+    def dma(slot, chunk_idx):
+        return pltpu.make_async_copy(
+            params_hbm.at[:, pl.ds(start + chunk_idx * chunk_size, chunk_size)],
+            chunk_vmem.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(n_chunks > 0)
+    def _():
+        dma(0, 0).start()
+
+    def body(state):
+        c, accum, trans = state
+
+        @pl.when(c + 1 < n_chunks)
+        def _():
+            dma((c + 1) % 2, c + 1).start()
+
+        dma(c % 2, c).wait()
+        chunk = chunk_vmem[c % 2]
+
+        alpha = _chunk_alpha(chunk, px_vp, py_vp, aabb)  # [PIX, chunk]
+        remaining = count - c * chunk_size
+        alpha = jnp.where(lane < remaining, alpha, 0.0)
+
+        one_minus = 1.0 - alpha
+        cum = _cumprod_lanes(one_minus)  # [PIX, CHUNK]
+        # exclusive shift-right: circular roll then overwrite lane 0 with ones
+        excl = jnp.where(lane == 0, 1.0, pltpu.roll(cum, 1, axis=1))
+        w = alpha * excl * trans  # [PIX, CHUNK] (trans [PIX, 1])
+
+        r = jnp.sum(w * chunk[6:7, :], axis=1, keepdims=True)
+        g = jnp.sum(w * chunk[7:8, :], axis=1, keepdims=True)
+        b = jnp.sum(w * chunk[8:9, :], axis=1, keepdims=True)
+        accum = accum + jnp.concatenate([r, g, b], axis=1)  # [PIX, 3]
+        trans = trans * cum[:, -1:]
+        return c + 1, accum, trans
+
+    def cond(state):
+        c, _, trans = state
+        if early_exit:
+            return (c < n_chunks) & (jnp.max(trans) > TRANS_EPS)
+        return c < n_chunks
+
+    accum0 = jnp.zeros((PIX, 3), jnp.float32)
+    trans0 = jnp.ones((PIX, 1), jnp.float32)
+    _, accum, trans = jax.lax.while_loop(cond, body, (jnp.int32(0), accum0, trans0))
+
+    # [PIX, 8] -> [8, 256] output block (one transpose per tile)
+    packed = jnp.concatenate(
+        [accum, trans, jnp.zeros((PIX, 4), jnp.float32)], axis=1
+    )  # [256, 8]
+    out_ref[...] = packed.T
+
+
+def pallas_composite_tiles(
+    params_sorted: jnp.ndarray,  # [P, C] pair-sorted, invalid rows zeroed
+    tile_start: jnp.ndarray,  # [T] i32
+    tile_count: jnp.ndarray,  # [T] i32
+    settings: CloudSettings,
+    width: int,
+    height: int,
+    background=None,
+    interpret: bool = False,
+    chunk_size: int = CHUNK,
+    early_exit: bool = True,
+) -> jnp.ndarray:
+    """Full-image composite via the Pallas kernel -> [H, W, 4]."""
+    if settings.gaussian_mode == GaussianMode.GAUSSIAN_2D:
+        raise NotImplementedError("pallas compositor: 2DGS path lands separately")
+
+    tx_count = width // TILE
+    ty_count = height // TILE
+    num_tiles = tx_count * ty_count
+    p, c = params_sorted.shape
+
+    # transposed + padded so any chunk DMA stays in bounds and lanes align
+    p_pad = (p + chunk_size + 127) // 128 * 128
+    params_t = jnp.zeros((PW, p_pad), jnp.float32)
+    params_t = params_t.at[:c, :p].set(params_sorted.T)
+
+    kernel = functools.partial(
+        _composite_kernel,
+        tx_count=tx_count,
+        width=width,
+        height=height,
+        aabb=settings.aabb,
+        chunk_size=chunk_size,
+        early_exit=early_exit,
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(
+            (8, PIX), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, PW, chunk_size), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((num_tiles * 8, PIX), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(tile_start.astype(jnp.int32), tile_count.astype(jnp.int32), params_t)
+
+    out = out.reshape(num_tiles, 8, PIX)
+    accum = out[:, :3, :].transpose(0, 2, 1)  # [T, 256, 3]
+    trans = out[:, 3, :]  # [T, 256]
+
+    alpha_out = 1.0 - trans
+    if background is not None:
+        if background.ndim == 1:
+            bg_rgb = background[:3]
+            bg_a = background[3]
+        else:
+            bg_tiles = (
+                background.reshape(ty_count, TILE, tx_count, TILE, 4)
+                .transpose(0, 2, 1, 3, 4)
+                .reshape(num_tiles, PIX, 4)
+            )
+            bg_rgb = bg_tiles[..., :3]
+            bg_a = bg_tiles[..., 3]
+        accum = accum + trans[..., None] * bg_rgb
+        alpha_out = alpha_out + trans * bg_a
+
+    tile_img = jnp.concatenate([accum, alpha_out[..., None]], axis=-1)
+    return (
+        tile_img.reshape(ty_count, tx_count, TILE, TILE, 4)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(height, width, 4)
+    )

@@ -82,6 +82,10 @@ def project_gaussians(
         time = jnp.float32(settings.time)
     if model_transform is None:
         model_transform = jnp.eye(4, dtype=jnp.float32)
+    if cloud.position_visibility.dtype != jnp.float32:
+        # f16/bf16 storage clouds: all projection math runs f32 (the reference
+        # decodes PLANAR_F16 buffers to f32 in-shader, src/render/planar.wgsl)
+        cloud = cloud.astype(jnp.float32)
 
     mode = settings.gaussian_mode
     n = len(cloud)

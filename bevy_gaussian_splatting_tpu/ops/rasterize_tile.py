@@ -412,6 +412,7 @@ def render_tiled(
     height: Optional[int] = None,
     chunk: int = 64,
     differentiable: bool = True,
+    compositor: str = "xla",
 ) -> jnp.ndarray:
     if model_transform is None:
         model_transform = jnp.eye(4, dtype=jnp.float32)
@@ -457,9 +458,44 @@ def render_tiled(
     k_max = tile_budget(n)
     g_s, tile_s, valid_s, _ = bin_gaussians(splats, settings, width, height, p_max)
     params = pack_raster_params(splats, settings, width, height)
-    params_sorted = params[g_s]
     start, end = tile_ranges(tile_s, (width // TILE) * (height // TILE))
+    if compositor != "pallas":
+        params_sorted = params[g_s]
 
+    if compositor == "pallas":
+        from bevy_gaussian_splatting_tpu.ops.pallas.tile_fwd import (
+            pallas_composite_tiles,
+        )
+
+        import jax as _jax
+
+        interpret = _jax.default_backend() != "tpu"
+        num_tiles = (width // TILE) * (height // TILE)
+        count = jnp.minimum(end - start, k_max)
+        # Realign every tile's pair range to a 128-slot boundary so the
+        # kernel's chunk DMAs have provably lane-aligned offsets.  The
+        # alignment is folded into the single parameter gather: slot s of the
+        # aligned buffer pulls pair g_s[start_t + (s - aligned_start_t)].
+        aligned_count = (count + 127) // 128 * 128
+        aligned_start = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(aligned_count)[:-1].astype(jnp.int32)]
+        )
+        p_aligned = p_max + 128 * num_tiles  # static bound
+        slots = jnp.arange(p_aligned, dtype=jnp.int32)
+        t_of_slot = (
+            jnp.searchsorted(aligned_start, slots, side="right").astype(jnp.int32) - 1
+        )
+        t_of_slot = jnp.clip(t_of_slot, 0, num_tiles - 1)
+        j = slots - aligned_start[t_of_slot]
+        slot_valid = j < count[t_of_slot]
+        src = jnp.clip(start[t_of_slot] + j, 0, g_s.shape[0] - 1)
+        g_aligned = jnp.where(slot_valid, g_s[src], 0)
+        pair_ok = slot_valid & jnp.where(slot_valid, valid_s[src], False)
+        params_aligned = params[g_aligned] * pair_ok[:, None].astype(params.dtype)
+        return pallas_composite_tiles(
+            params_aligned, aligned_start, count, settings, width, height,
+            background=background, interpret=interpret,
+        )
     return composite_tiles(
         params_sorted, valid_s, start, end, settings, width, height,
         k_max=k_max, chunk=chunk, background=background,
@@ -468,7 +504,8 @@ def render_tiled(
 
 
 def make_tiled_pipeline(
-    settings: CloudSettings, width: int, height: int, differentiable: bool = False
+    settings: CloudSettings, width: int, height: int, differentiable: bool = False,
+    compositor: str = "xla",
 ):
     """Jitted forward pipeline. Default is the fast non-differentiable
     while_loop compositor (rendering/serving); pass differentiable=True for the
@@ -478,6 +515,7 @@ def make_tiled_pipeline(
         return render_tiled(
             cloud, camera, settings, model_transform, background, time,
             width=width, height=height, differentiable=differentiable,
+            compositor=compositor,
         )
 
     return jax.jit(fn)
