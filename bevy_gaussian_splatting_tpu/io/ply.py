@@ -140,8 +140,27 @@ def _pad_rows(n: int) -> int:
 
 
 def parse_ply_3d(
-    source: Union[bytes, BinaryIO], strict_reference: bool = True
+    source: Union[bytes, BinaryIO], strict_reference: bool = True,
+    use_native: bool = True,
 ) -> Gaussian3dCloud:
+    if isinstance(source, (bytes, bytearray)) and use_native:
+        # fast path: multithreaded C++ decoder (native/gsplat_native.cpp);
+        # silently falls back for ascii/list-property/exotic files
+        try:
+            from bevy_gaussian_splatting_tpu import native as _native
+
+            out = _native.parse_ply_3d_native(bytes(source), strict_reference)
+        except Exception:
+            out = None
+        if out is not None:
+            pv, sh_arr, rot_arr, so_arr = out
+            return Gaussian3dCloud(
+                position_visibility=jnp.asarray(pv),
+                spherical_harmonic=jnp.asarray(sh_arr),
+                rotation=jnp.asarray(rot_arr),
+                scale_opacity=jnp.asarray(so_arr),
+            )
+
     f = _io.BytesIO(source) if isinstance(source, (bytes, bytearray)) else source
     fmt, elements = _read_header(f)
     data = _read_vertex_data(f, fmt, elements)

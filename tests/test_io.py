@@ -216,3 +216,30 @@ class TestPly4d:
             _np(cloud.spherindrical_harmonic)[:5, 2 * 3 + 1], cols["feat_g_2"], rtol=1e-6
         )
         np.testing.assert_allclose(_np(cloud.timestamp)[:5], cols["t"], rtol=1e-6)
+
+
+class TestNative:
+    """C++ native IO layer (bevy_gaussian_splatting_tpu/native)."""
+
+    def test_native_ply_matches_python(self):
+        from bevy_gaussian_splatting_tpu import native
+
+        if not native.available():
+            import pytest
+
+            pytest.skip("no C++ toolchain")
+        cloud = bgs.random_gaussians_3d_seeded(500, seed=8)
+        data = ply_codec.write_ply_3d(cloud)
+        a = ply_codec.parse_ply_3d(data, use_native=True)
+        b = ply_codec.parse_ply_3d(data, use_native=False)
+        assert_clouds_equal(a, b, atol=1e-5)
+
+    def test_native_radix_sort_stable_ascending(self, rng):
+        from bevy_gaussian_splatting_tpu import native
+
+        k = rng.integers(0, 2**32, 10_000, dtype=np.uint32)
+        v = np.arange(10_000, dtype=np.uint32)
+        ks, vs = native.radix_sort_pairs(k.copy(), v.copy())
+        order = np.argsort(k, kind="stable")
+        np.testing.assert_array_equal(ks, k[order])
+        np.testing.assert_array_equal(vs, v[order])
