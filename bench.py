@@ -69,8 +69,10 @@ def main() -> int:
     mt = jnp.eye(4, dtype=jnp.float32)
     bg = jnp.zeros((4,), jnp.float32)
 
-    # ---- forward-only (serving path) ----------------------------------------
-    fwd_pipe = make_tiled_pipeline(settings, width, height, differentiable=False)
+    # ---- forward-only (serving path, Pallas kernel) -------------------------
+    fwd_pipe = make_tiled_pipeline(
+        settings, width, height, differentiable=False, compositor="pallas"
+    )
     t_fwd = bench_forward(
         fwd_pipe, lambda i: (cloud, camera, mt, bg, jnp.float32(i * 1e-7)), iters
     )
@@ -86,6 +88,7 @@ def main() -> int:
             img = render_tiled(
                 c, camera, settings, mt, bg, t,
                 width=width, height=height, differentiable=True,
+                compositor="pallas",
             )
             return jnp.mean((img - target) ** 2)
 

@@ -1,0 +1,321 @@
+"""Hand-derived Pallas backward kernel for tile compositing.
+
+The BASELINE.json centerpiece: gradients of the front-to-back alpha blend
+w.r.t. the per-splat raster parameters, computed by re-walking each tile's
+splat list front-to-back (recompute-in-reverse — no O(count) residuals, only
+the forward's per-pixel totals).
+
+Derivation (per pixel, splats i in front-to-back order within a tile):
+
+    out_rgb = sum_i c_i a_i T_i,   T_i = prod_{j<i} (1 - a_j),   T_fin = T_N
+
+    dL/dc_i = a_i T_i ghat_rgb
+    dL/da_i = ghat_rgb . (c_i T_i - S_i / (1 - a_i)) - ghat_T T_fin / (1 - a_i)
+        where S_i = sum_{j>i} c_j a_j T_j  (suffix sum; computed as
+        total - prefix - own term), and ghat_T is the cotangent of the final
+        transmittance (the epilogue's alpha-channel and background terms).
+
+    a_i(p) gates/chains into the parameter gradients exactly as the forward:
+      AABB: a = op exp(power), power = -a dx^2/2 - c dy^2/2 + b dx dy
+      OBB:  a = op exp(-4.5 (u^2 + v^2))
+    with the inside masks and the 0.999 cap zeroing gradients (matching
+    XLA AD of the forward's jnp.where / jnp.minimum).
+
+Kernel layout mirrors tile_fwd: params_t [PW, P] in HBM, per-tile grid with
+scalar-prefetched aligned starts/counts, [PIX, CHUNK] compute blocks, and the
+per-parameter pixel reductions producing a [PW, CHUNK] gradient block that is
+DMA'd to the (pre-zeroed, input-output-aliased) dparams_t output — per-pair
+gradient slots are exclusive to their tile, so no atomics are needed; the
+pair->gaussian reduction happens outside via the gather transpose.
+
+The chunk-local prefix needs an exclusive cumsum of c*w per channel (three
+more lane scans next to the forward's cumprod).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from bevy_gaussian_splatting_tpu.models.settings import CloudSettings, GaussianMode
+from bevy_gaussian_splatting_tpu.ops.pallas.tile_fwd import (
+    ALPHA_CAP,
+    CHUNK,
+    PIX,
+    PW,
+    TILE,
+    TRANS_EPS,
+    _cumprod_lanes,
+    _tile_pixel_coords,
+)
+
+
+def _cumsum_lanes_exclusive(x: jnp.ndarray) -> jnp.ndarray:
+    """Exclusive cumulative sum along lanes (Hillis-Steele + shift)."""
+    n = x.shape[1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    shift = 1
+    y = x
+    while shift < n:
+        rolled = pltpu.roll(y, shift, axis=1)
+        y = y + jnp.where(lane >= shift, rolled, 0.0)
+        shift *= 2
+    rolled = pltpu.roll(y, 1, axis=1)
+    return jnp.where(lane == 0, 0.0, rolled)
+
+
+def _alpha_and_partials(chunk, px_vp, py_vp, aabb: bool):
+    """Forward alpha plus the partials needed for the parameter chain.
+
+    Returns (alpha, aux) with aux mode-specific tensors, all [PIX, CHUNK]."""
+    cx = chunk[0:1, :]
+    cy = chunk[1:2, :]
+    opacity = chunk[9:10, :]
+    if aabb:
+        dx = cx - px_vp
+        dy = cy - py_vp
+        a_ = chunk[2:3, :]
+        b_ = chunk[3:4, :]
+        c_ = chunk[4:5, :]
+        power = -0.5 * (a_ * dx * dx + c_ * dy * dy) + b_ * dx * dy
+        r = chunk[5:6, :]
+        inside = (jnp.abs(dx) <= r) & (jnp.abs(dy) <= r) & (power <= 0.0)
+        g = jnp.where(inside, jnp.exp(power), 0.0)
+        raw = g * opacity
+        capped = raw >= ALPHA_CAP
+        alpha = jnp.minimum(raw, ALPHA_CAP)
+        return alpha, {"g": g, "dx": dx, "dy": dy, "capped": capped}
+    else:
+        dx = px_vp - cx
+        dy = py_vp - cy
+        e1x = chunk[2:3, :]
+        e1y = chunk[3:4, :]
+        b1 = jnp.maximum(chunk[4:5, :], 1e-12)
+        b2 = jnp.maximum(chunk[5:6, :], 1e-12)
+        u = (dx * e1x + dy * e1y) / b1
+        v = (dx * e1y - dy * e1x) / b2
+        inside = (jnp.abs(u) <= 1.0) & (jnp.abs(v) <= 1.0) & (chunk[4:5, :] > 0.0)
+        g = jnp.where(inside, jnp.exp(-4.5 * (u * u + v * v)), 0.0)
+        raw = g * opacity
+        capped = raw >= ALPHA_CAP
+        alpha = jnp.minimum(raw, ALPHA_CAP)
+        return alpha, {
+            "g": g, "u": u, "v": v, "dx": dx, "dy": dy,
+            "b1": b1, "b2": b2, "capped": capped,
+        }
+
+
+def _backward_kernel(
+    start_ref,  # scalar prefetch [T]
+    count_ref,  # scalar prefetch [T]
+    params_hbm,  # [PW, P_pad] ANY
+    gbar_ref,  # [8, PIX] VMEM: rows 0-2 ghat_rgb, 3 ghat_T, 4-6 total_rgb, 7 T_fin
+    dparams_hbm,  # [PW, P_pad] ANY output
+    chunk_vmem,  # [2, PW, CHUNK]
+    dchunk_vmem,  # [PW, CHUNK] gradient staging
+    sem,  # DMA sems [2]
+    out_sem,  # output DMA sem
+    *,
+    tx_count: int,
+    width: int,
+    height: int,
+    aabb: bool,
+):
+    t = pl.program_id(0)
+    start = pl.multiple_of(start_ref[t], 128)
+    count = count_ref[t]
+    px_vp, py_vp = _tile_pixel_coords(t, tx_count, width, height)
+
+    ghat_rgb = [gbar_ref[i : i + 1, :].T for i in range(3)]  # [PIX, 1] each
+    ghat_T = gbar_ref[3:4, :].T
+    total_rgb = [gbar_ref[4 + i : 5 + i, :].T for i in range(3)]
+    t_fin = gbar_ref[7:8, :].T
+
+    n_chunks = pl.cdiv(count, CHUNK)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+
+    def dma_in(slot, chunk_idx):
+        return pltpu.make_async_copy(
+            params_hbm.at[:, pl.ds(start + chunk_idx * CHUNK, CHUNK)],
+            chunk_vmem.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(n_chunks > 0)
+    def _():
+        dma_in(0, 0).start()
+
+    def body(state):
+        c, trans, prefix0, prefix1, prefix2 = state
+
+        @pl.when(c + 1 < n_chunks)
+        def _():
+            dma_in((c + 1) % 2, c + 1).start()
+
+        dma_in(c % 2, c).wait()
+        chunk = chunk_vmem[c % 2]
+
+        alpha, aux = _alpha_and_partials(chunk, px_vp, py_vp, aabb)
+        remaining = count - c * CHUNK
+        alpha = jnp.where(lane < remaining, alpha, 0.0)
+
+        one_minus = 1.0 - alpha
+        cum = _cumprod_lanes(one_minus)
+        excl = jnp.where(lane == 0, 1.0, pltpu.roll(cum, 1, axis=1))
+        T_i = excl * trans  # [PIX, CHUNK] transmittance in front of splat i
+        w = alpha * T_i
+
+        crgb = [chunk[6 + ch : 7 + ch, :] for ch in range(3)]
+        cw = [crgb[ch] * w for ch in range(3)]
+
+        # dL/dc_i: reduce over pixels
+        dc = [jnp.sum(w * ghat_rgb[ch], axis=0, keepdims=True) for ch in range(3)]
+
+        # suffix sums S_i per channel: total - prefix_before_chunk -
+        # chunk-local exclusive prefix - own term
+        inv_om = 1.0 / jnp.maximum(one_minus, 1e-6)
+        dalpha = jnp.zeros_like(alpha)
+        prefixes = [prefix0, prefix1, prefix2]
+        new_prefixes = []
+        for ch in range(3):
+            local_excl = _cumsum_lanes_exclusive(cw[ch])
+            S_after = total_rgb[ch] - prefixes[ch] - local_excl - cw[ch]
+            dalpha = dalpha + ghat_rgb[ch] * (crgb[ch] * T_i - S_after * inv_om)
+            new_prefixes.append(prefixes[ch] + jnp.sum(cw[ch], axis=1, keepdims=True))
+        dalpha = dalpha - ghat_T * t_fin * inv_om
+        # cap + row masking zero the gradient exactly like the forward's min()
+        dalpha = jnp.where(aux["capped"], 0.0, dalpha)
+        dalpha = jnp.where(lane < remaining, dalpha, 0.0)
+
+        g = aux["g"]
+        opacity = chunk[9:10, :]
+        dop = jnp.sum(dalpha * g, axis=0, keepdims=True)
+        dpower = dalpha * g * opacity  # == dalpha * alpha_raw (pre-cap)
+
+        if aabb:
+            dx, dy = aux["dx"], aux["dy"]
+            da = jnp.sum(dpower * (-0.5 * dx * dx), axis=0, keepdims=True)
+            db = jnp.sum(dpower * (dx * dy), axis=0, keepdims=True)
+            dcc = jnp.sum(dpower * (-0.5 * dy * dy), axis=0, keepdims=True)
+            a_ = chunk[2:3, :]
+            b_ = chunk[3:4, :]
+            c_ = chunk[4:5, :]
+            dpdx = -a_ * dx + b_ * dy
+            dpdy = -c_ * dy + b_ * dx
+            dcx = jnp.sum(dpower * dpdx, axis=0, keepdims=True)  # ddx/dcx=+1
+            dcy = jnp.sum(dpower * dpdy, axis=0, keepdims=True)
+            d2 = da
+            d3 = db
+            d4 = dcc
+            d5 = jnp.zeros_like(da)  # radius: inside-mask only, grad 0
+        else:
+            u, v = aux["u"], aux["v"]
+            b1, b2 = aux["b1"], aux["b2"]
+            dx, dy = aux["dx"], aux["dy"]
+            du = dpower * (-9.0 * u)
+            dv = dpower * (-9.0 * v)
+            d2 = jnp.sum(du * dx / b1 - dv * dy / b2, axis=0, keepdims=True)  # e1x
+            d3 = jnp.sum(du * dy / b1 + dv * dx / b2, axis=0, keepdims=True)  # e1y
+            d4 = jnp.sum(du * (-u / b1), axis=0, keepdims=True)  # b1
+            d5 = jnp.sum(dv * (-v / b2), axis=0, keepdims=True)  # b2
+            # centers: du/dcx = -e1x/b1, dv/dcx = -e1y/b2 ; du/dcy = -e1y/b1,
+            # dv/dcy = +e1x/b2  (dx = px - cx, dy = py - cy)
+            e1x = chunk[2:3, :]
+            e1y = chunk[3:4, :]
+            dcx = jnp.sum(-du * e1x / b1 - dv * e1y / b2, axis=0, keepdims=True)
+            dcy = jnp.sum(-du * e1y / b1 + dv * e1x / b2, axis=0, keepdims=True)
+
+        zeros = jnp.zeros_like(dop)
+        rows = [
+            dcx, dcy, d2, d3, d4, d5,
+            dc[0], dc[1], dc[2], dop,
+            zeros, zeros, zeros, zeros, zeros, zeros,
+        ]
+        dchunk_vmem[...] = jnp.concatenate(rows, axis=0)  # [PW, CHUNK]
+        out_dma = pltpu.make_async_copy(
+            dchunk_vmem,
+            dparams_hbm.at[:, pl.ds(start + c * CHUNK, CHUNK)],
+            out_sem,
+        )
+        out_dma.start()
+        out_dma.wait()
+
+        trans = trans * cum[:, -1:]
+        return c + 1, trans, new_prefixes[0], new_prefixes[1], new_prefixes[2]
+
+    def cond(state):
+        # NOTE: no transmittance early-exit here — every in-range chunk must
+        # be written (sequential grid order makes the spill-over zero writes
+        # of a chunk tail safe: the next tile rewrites its own slots after)
+        c, trans, *_ = state
+        return c < n_chunks
+
+    zero_col = jnp.zeros((PIX, 1), jnp.float32)
+    jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.ones((PIX, 1), jnp.float32),
+                     zero_col, zero_col, zero_col)
+    )
+
+
+def pallas_composite_backward(
+    params_aligned: jnp.ndarray,  # [P, C]
+    aligned_start: jnp.ndarray,  # [T]
+    count: jnp.ndarray,  # [T]
+    gbar: jnp.ndarray,  # [T, 8, PIX] packed cotangents + residuals
+    settings: CloudSettings,
+    width: int,
+    height: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Run the backward kernel -> dparams [P, C]."""
+    tx_count = width // TILE
+    ty_count = height // TILE
+    num_tiles = tx_count * ty_count
+    p, c = params_aligned.shape
+
+    p_pad = (p + CHUNK + 127) // 128 * 128
+    params_t = jnp.zeros((PW, p_pad), jnp.float32)
+    params_t = params_t.at[:c, :p].set(params_aligned.T)
+
+    kernel = functools.partial(
+        _backward_kernel,
+        tx_count=tx_count,
+        width=width,
+        height=height,
+        aabb=settings.aabb,
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((8, PIX), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, PW, CHUNK), jnp.float32),
+            pltpu.VMEM((PW, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+
+    dparams_t = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((PW, p_pad), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(
+        aligned_start.astype(jnp.int32),
+        count.astype(jnp.int32),
+        params_t,
+        gbar.reshape(num_tiles * 8, PIX),
+    )
+
+    return dparams_t[:c, :p].T

@@ -181,19 +181,18 @@ def _composite_kernel(
     out_ref[...] = packed.T
 
 
-def pallas_composite_tiles(
+def pallas_forward_raw(
     params_sorted: jnp.ndarray,  # [P, C] pair-sorted, invalid rows zeroed
     tile_start: jnp.ndarray,  # [T] i32
     tile_count: jnp.ndarray,  # [T] i32
     settings: CloudSettings,
     width: int,
     height: int,
-    background=None,
     interpret: bool = False,
     chunk_size: int = CHUNK,
     early_exit: bool = True,
 ) -> jnp.ndarray:
-    """Full-image composite via the Pallas kernel -> [H, W, 4]."""
+    """Raw kernel output [T*8, PIX]: rows 0-2 rgb accum, row 3 transmittance."""
     if settings.gaussian_mode == GaussianMode.GAUSSIAN_2D:
         raise NotImplementedError("pallas compositor: 2DGS path lands separately")
 
@@ -230,14 +229,27 @@ def pallas_composite_tiles(
         ],
     )
 
-    out = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((num_tiles * 8, PIX), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
     )(tile_start.astype(jnp.int32), tile_count.astype(jnp.int32), params_t)
 
-    out = out.reshape(num_tiles, 8, PIX)
+
+def composite_epilogue(
+    out_raw: jnp.ndarray,  # [T*8, PIX]
+    background,
+    width: int,
+    height: int,
+) -> jnp.ndarray:
+    """XLA epilogue: raw kernel rows -> [H, W, 4] with background blend.
+    Differentiable in out_raw and background."""
+    tx_count = width // TILE
+    ty_count = height // TILE
+    num_tiles = tx_count * ty_count
+
+    out = out_raw.reshape(num_tiles, 8, PIX)
     accum = out[:, :3, :].transpose(0, 2, 1)  # [T, 256, 3]
     trans = out[:, 3, :]  # [T, 256]
 
@@ -263,3 +275,23 @@ def pallas_composite_tiles(
         .transpose(0, 2, 1, 3, 4)
         .reshape(height, width, 4)
     )
+
+
+def pallas_composite_tiles(
+    params_sorted: jnp.ndarray,
+    tile_start: jnp.ndarray,
+    tile_count: jnp.ndarray,
+    settings: CloudSettings,
+    width: int,
+    height: int,
+    background=None,
+    interpret: bool = False,
+    chunk_size: int = CHUNK,
+    early_exit: bool = True,
+) -> jnp.ndarray:
+    """Forward-only convenience: raw kernel + epilogue -> [H, W, 4]."""
+    out_raw = pallas_forward_raw(
+        params_sorted, tile_start, tile_count, settings, width, height,
+        interpret=interpret, chunk_size=chunk_size, early_exit=early_exit,
+    )
+    return composite_epilogue(out_raw, background, width, height)

@@ -491,7 +491,24 @@ def render_tiled(
         src = jnp.clip(start[t_of_slot] + j, 0, g_s.shape[0] - 1)
         g_aligned = jnp.where(slot_valid, g_s[src], 0)
         pair_ok = slot_valid & jnp.where(slot_valid, valid_s[src], False)
-        params_aligned = params[g_aligned] * pair_ok[:, None].astype(params.dtype)
+        # jnp.where (not multiply): its transpose SELECTS the cotangent, so
+        # garbage gradients in never-written kernel output slots (beyond the
+        # last tile's chunk coverage) cannot leak through as 0 * NaN
+        params_aligned = jnp.where(pair_ok[:, None], params[g_aligned], 0.0)
+        if differentiable:
+            # hand-derived backward kernel via custom_vjp; the gather above is
+            # XLA-differentiable, so per-pair grads reduce to per-gaussian
+            # grads through its transpose (scatter-add)
+            from bevy_gaussian_splatting_tpu.ops.pallas.core import (
+                get_composite_core,
+            )
+            from bevy_gaussian_splatting_tpu.ops.pallas.tile_fwd import (
+                composite_epilogue,
+            )
+
+            core = get_composite_core(settings, width, height, interpret)
+            out_raw = core(params_aligned, aligned_start, count)
+            return composite_epilogue(out_raw, background, width, height)
         return pallas_composite_tiles(
             params_aligned, aligned_start, count, settings, width, height,
             background=background, interpret=interpret,

@@ -1,0 +1,118 @@
+"""Pallas kernel tests (interpret mode on CPU; compiled parity runs on TPU).
+
+Forward parity vs the XLA compositor and oracle, and the hand-derived
+backward kernel vs XLA AD gradients.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import bevy_gaussian_splatting_tpu as bgs
+from bevy_gaussian_splatting_tpu.ops.rasterize_ref import render_oracle
+from bevy_gaussian_splatting_tpu.ops.rasterize_tile import render_tiled
+
+
+def _np(x):
+    return np.asarray(x)
+
+
+CAM = bgs.Camera.create(eye=(0.0, 0.0, 60.0), target=(0.0, 0.0, 0.0), width=128, height=128)
+CLOUD = bgs.random_gaussians_3d_seeded(400, seed=1)
+
+
+class TestPallasForward:
+    def _parity(self, settings, **kw):
+        a = _np(render_oracle(CLOUD, CAM, settings, **kw))
+        b = _np(render_tiled(CLOUD, CAM, settings, compositor="pallas", **kw))
+        np.testing.assert_allclose(b, a, atol=2e-5)
+
+    def test_obb(self):
+        self._parity(bgs.CloudSettings())
+
+    def test_aabb(self):
+        self._parity(bgs.CloudSettings(aabb=True))
+
+    def test_background(self):
+        self._parity(bgs.CloudSettings(), background=jnp.array([0.2, 0.1, 0.4, 1.0]))
+
+    def test_4d(self):
+        c4 = bgs.random_gaussians_4d_seeded(80, seed=2)
+        cam = bgs.Camera.create(eye=(0, 0, 60.0), target=(0, 0, 0), width=64, height=64)
+        s = bgs.CloudSettings(gaussian_mode=bgs.GaussianMode.GAUSSIAN_4D, time=0.5)
+        a = _np(render_oracle(c4, cam, s))
+        b = _np(render_tiled(c4, cam, s, compositor="pallas"))
+        np.testing.assert_allclose(b, a, atol=2e-5)
+
+    def test_heavy_occlusion_early_exit(self):
+        # many opaque overlapping splats: exercises the transmittance early
+        # exit; result must still match the oracle
+        cloud = bgs.random_gaussians_3d_seeded(500, seed=4)
+        cloud = dataclasses.replace(
+            cloud,
+            position_visibility=cloud.position_visibility * jnp.array([0.05, 0.05, 0.2, 1.0]),
+            scale_opacity=cloud.scale_opacity * jnp.array([2.0, 2.0, 2.0, 1.0])
+            + jnp.array([0.0, 0.0, 0.0, 0.6]),
+        )
+        s = bgs.CloudSettings()
+        a = _np(render_oracle(cloud, CAM, s))
+        b = _np(render_tiled(cloud, CAM, s, compositor="pallas"))
+        np.testing.assert_allclose(b, a, atol=3e-5)
+
+
+class TestPallasBackward:
+    def _grad_parity(self, settings, rel_tol=3e-3):
+        cloud = dataclasses.replace(
+            CLOUD, scale_opacity=CLOUD.scale_opacity * jnp.array([1.0, 2.0, 0.5, 1.0])
+        )
+        cam = bgs.Camera.create(eye=(0, 0, 60.0), target=(0, 0, 0), width=64, height=64)
+        target = render_tiled(cloud, cam, settings) * 0.9
+
+        def loss_xla(c):
+            img = render_tiled(c, cam, settings, differentiable=True)
+            return jnp.mean((img - target) ** 2)
+
+        def loss_pal(c):
+            img = render_tiled(
+                c, cam, settings, differentiable=True, compositor="pallas"
+            )
+            return jnp.mean((img - target) ** 2)
+
+        np.testing.assert_allclose(
+            float(loss_pal(cloud)), float(loss_xla(cloud)), rtol=1e-5
+        )
+        ga = jax.grad(loss_xla)(cloud)
+        gb = jax.grad(loss_pal)(cloud)
+        for f in ("position_visibility", "spherical_harmonic", "rotation", "scale_opacity"):
+            a, b = _np(getattr(ga, f)), _np(getattr(gb, f))
+            assert np.isfinite(b).all(), f
+            scale = np.abs(a).max() + 1e-12
+            np.testing.assert_allclose(b, a, atol=rel_tol * scale, err_msg=f)
+
+    def test_grads_aabb(self):
+        self._grad_parity(bgs.CloudSettings(aabb=True))
+
+    def test_grads_obb(self):
+        self._grad_parity(bgs.CloudSettings())
+
+    def test_grads_with_background(self):
+        cloud = bgs.random_gaussians_3d_seeded(100, seed=6)
+        cam = bgs.Camera.create(eye=(0, 0, 60.0), target=(0, 0, 0), width=64, height=64)
+        settings = bgs.CloudSettings()
+        bg = jnp.array([0.3, 0.2, 0.1, 1.0])
+        target = render_tiled(cloud, cam, settings, background=bg) * 0.8
+
+        def loss(c, compositor):
+            img = render_tiled(
+                c, cam, settings, background=bg, differentiable=True,
+                compositor=compositor,
+            )
+            return jnp.mean((img - target) ** 2)
+
+        ga = jax.grad(lambda c: loss(c, "xla"))(cloud)
+        gb = jax.grad(lambda c: loss(c, "pallas"))(cloud)
+        a, b = _np(ga.position_visibility), _np(gb.position_visibility)
+        scale = np.abs(a).max() + 1e-12
+        np.testing.assert_allclose(b, a, atol=3e-3 * scale)
