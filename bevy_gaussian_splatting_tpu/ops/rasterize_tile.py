@@ -89,6 +89,21 @@ def _pixel_extents(splats: dict, settings: CloudSettings, width, height):
     return cx_px, cy_px, rx, ry
 
 
+def slot_owner_scan(starts: jnp.ndarray, owner_ids: jnp.ndarray, p_max: int) -> jnp.ndarray:
+    """For segments laid out back-to-back (``starts`` non-decreasing), return
+    per-slot owner ids via scatter-max + cumulative max.
+
+    Replaces ``searchsorted(cum, arange(p_max))`` — XLA lowers that to a
+    ~20-iteration binary-search gather loop over p_max queries (the dominant
+    binning cost at 8M slots); scatter + associative cummax is two passes.
+    Owners with empty segments share a start with their successor; max picks
+    the last (the actual owner).  Slots past the final segment keep the last
+    owner id (callers mask by total)."""
+    marks = jnp.zeros((p_max,), jnp.int32)
+    marks = marks.at[starts].max(owner_ids + 1, mode="drop")
+    return jnp.maximum(jax.lax.associative_scan(jnp.maximum, marks) - 1, 0)
+
+
 def bin_gaussians(
     splats: dict,
     settings: CloudSettings,
@@ -99,7 +114,13 @@ def bin_gaussians(
     """Build sorted (tile, pair) assignment with static shapes.
 
     Returns (pair_gidx [P], pair_tile [P], pair_valid [P], num_pairs) where
-    pairs are sorted by (tile, front-to-back depth, painter tie-break)."""
+    pairs are sorted by (tile, front-to-back depth, painter tie-break).
+
+    TPU-shaped implementation: gaussians are first permuted into front-to-back
+    depth order (one cheap N-element sort), so expanded pairs are born
+    depth-ordered and the P-element pair sort needs only the tile id as a key
+    (stable).  Slot->gaussian ownership uses scatter + cummax instead of
+    searchsorted (see slot_owner_scan)."""
     tx_count = width // TILE
     ty_count = height // TILE
     n = splats["mask"].shape[0]
@@ -117,36 +138,45 @@ def bin_gaussians(
     )
     active = active & on_screen
 
-    rect_w = tx1 - tx0 + 1
-    rect_h = ty1 - ty0 + 1
-    counts = jnp.where(active, rect_w * rect_h, 0)
+    # ---- depth pre-sort of gaussians (front-to-back + painter tie) ----------
+    # front order = exact reverse of the reference back-to-front radix order:
+    # complement of the (possibly shifted) radix key (src/sort/radix.wgsl:88-99)
+    # with ties broken by DESCENDING cloud index (stable painter reversed)
+    front_key = jnp.uint32(0xFFFFFFFF) - splats["sort_key"]
+    rev_idx = jnp.uint32(n - 1) - jnp.arange(n, dtype=jnp.uint32)
+    _, _, perm = jax.lax.sort(
+        (front_key, rev_idx, jnp.arange(n, dtype=jnp.int32)), num_keys=2
+    )
+
+    tx0p = tx0[perm]
+    ty0p = ty0[perm]
+    rect_wp = (tx1 - tx0 + 1)[perm]
+    rect_hp = (ty1 - ty0 + 1)[perm]
+    counts = jnp.where(active[perm], rect_wp * rect_hp, 0)
 
     cum = jnp.cumsum(counts)  # inclusive
     total = cum[-1]
     offsets = cum - counts  # exclusive
 
-    # slot -> gaussian via searchsorted over the cumulative counts
+    # slot -> depth-ranked gaussian via scatter + cummax
+    starts = jnp.where(counts > 0, offsets, p_max)  # empty segments dropped
+    gidx = slot_owner_scan(starts, jnp.arange(n, dtype=jnp.int32), p_max)
     slots = jnp.arange(p_max, dtype=jnp.int32)
-    gidx = jnp.searchsorted(cum, slots, side="right").astype(jnp.int32)
     valid = slots < total
-    g = jnp.clip(gidx, 0, n - 1)
 
-    k = slots - offsets[g]
-    w_g = rect_w[g]
-    tile_x = tx0[g] + k % w_g
-    tile_y = ty0[g] + k // w_g
+    # pack the per-gaussian fields consumed per slot into one gather
+    packed = jnp.stack([offsets, rect_wp, tx0p, ty0p, perm], axis=1)  # [n, 5]
+    pg = packed[gidx]  # [p_max, 5]
+    k = slots - pg[:, 0]
+    tile_x = pg[:, 2] + k % pg[:, 1]
+    tile_y = pg[:, 3] + k // pg[:, 1]
     tile = tile_y * tx_count + tile_x
     tile = jnp.where(valid, tile, tx_count * ty_count)  # sentinel tile sorts last
+    g_orig = pg[:, 4]
 
-    # front-to-back order = exact reverse of the reference's back-to-front
-    # radix order: complement of the (possibly shifted) radix key
-    # (src/sort/radix.wgsl:88-99), ties broken by descending cloud index to
-    # mirror the stable back-to-front painter reversed
-    front_key = jnp.uint32(0xFFFFFFFF) - splats["sort_key"][g]
-    tie = (jnp.uint32(n) - jnp.uint32(1) - g.astype(jnp.uint32))
-
-    tile_s, _, _, g_s, valid_s = jax.lax.sort(
-        (tile.astype(jnp.int32), front_key, tie, g, valid), num_keys=3, is_stable=False
+    # pairs are already depth-ordered within each tile -> stable 1-key sort
+    tile_s, g_s, valid_s = jax.lax.sort(
+        (tile.astype(jnp.int32), g_orig, valid), num_keys=1, is_stable=True
     )
     return g_s, tile_s, valid_s, total
 
@@ -482,13 +512,12 @@ def render_tiled(
         )
         p_aligned = p_max + 128 * num_tiles  # static bound
         slots = jnp.arange(p_aligned, dtype=jnp.int32)
-        t_of_slot = (
-            jnp.searchsorted(aligned_start, slots, side="right").astype(jnp.int32) - 1
-        )
-        t_of_slot = jnp.clip(t_of_slot, 0, num_tiles - 1)
-        j = slots - aligned_start[t_of_slot]
-        slot_valid = j < count[t_of_slot]
-        src = jnp.clip(start[t_of_slot] + j, 0, g_s.shape[0] - 1)
+        t_starts = jnp.where(aligned_count > 0, aligned_start, p_aligned)
+        t_of_slot = slot_owner_scan(t_starts, jnp.arange(num_tiles, dtype=jnp.int32), p_aligned)
+        tpack = jnp.stack([aligned_start, count, start], axis=1)[t_of_slot]  # [Pa, 3]
+        j = slots - tpack[:, 0]
+        slot_valid = (j >= 0) & (j < tpack[:, 1])
+        src = jnp.clip(tpack[:, 2] + j, 0, g_s.shape[0] - 1)
         g_aligned = jnp.where(slot_valid, g_s[src], 0)
         pair_ok = slot_valid & jnp.where(slot_valid, valid_s[src], False)
         # jnp.where (not multiply): its transpose SELECTS the cotangent, so
