@@ -489,6 +489,10 @@ def render_tiled(
     g_s, tile_s, valid_s, _ = bin_gaussians(splats, settings, width, height, p_max)
     params = pack_raster_params(splats, settings, width, height)
     start, end = tile_ranges(tile_s, (width // TILE) * (height // TILE))
+    if compositor == "pallas" and settings.gaussian_mode == GaussianMode.GAUSSIAN_2D:
+        # 2DGS surfel kernel not yet ported to Pallas; XLA compositor is the
+        # correct fallback (identical math, no error surface for callers)
+        compositor = "xla"
     if compositor != "pallas":
         params_sorted = params[g_s]
 
