@@ -46,8 +46,9 @@ def pixel_grid_ndc(width: int, height: int):
 
 
 def _fragment_alpha_3d_aabb(splat, px_vp, py_vp, viewport):
-    """AABB conic falloff at vp-unit pixel coords; returns [H, W] gaussian term
-    with quad clipping (gaussian.wgsl:455-470)."""
+    """AABB conic falloff at vp-unit pixel coords; returns ([H, W] gaussian
+    term with quad clipping, [H, W] quad-edge mask) (gaussian.wgsl:455-470,
+    486-495)."""
     cx = splat["center_ndc"][0] * viewport[0]
     cy = splat["center_ndc"][1] * viewport[1]
     dx = cx - px_vp
@@ -57,8 +58,13 @@ def _fragment_alpha_3d_aabb(splat, px_vp, py_vp, viewport):
         -0.5 * (conic[0] * dx * dx + conic[2] * dy * dy) + conic[1] * dx * dy
     )
     r = splat["radius_vp"]
-    inside = (jnp.abs(dx) <= r) & (jnp.abs(dy) <= r) & (power <= 0.0)
-    return jnp.where(inside, jnp.exp(power), 0.0)
+    in_quad = (jnp.abs(dx) <= r) & (jnp.abs(dy) <= r)
+    inside = in_quad & (power <= 0.0)
+    safe_r = jnp.maximum(r, 1e-12)
+    edge = in_quad & (
+        jnp.maximum(jnp.abs(dx), jnp.abs(dy)) / safe_r > 1.0 - 2.0 * 0.08
+    )
+    return jnp.where(inside, jnp.exp(power), 0.0), edge
 
 
 def _fragment_alpha_3d_obb(splat, px_vp, py_vp, viewport):
@@ -76,7 +82,8 @@ def _fragment_alpha_3d_obb(splat, px_vp, py_vp, viewport):
     v = (dx * e2x + dy * e2y) / safe[1]
     inside = (jnp.abs(u) <= 1.0) & (jnp.abs(v) <= 1.0) & (bounds[0] > 0.0)
     power = -4.5 * (u * u + v * v)  # sigma = 1/3 (gaussian.wgsl:490-494)
-    return jnp.where(inside, jnp.exp(power), 0.0)
+    edge = inside & (jnp.maximum(jnp.abs(u), jnp.abs(v)) > 1.0 - 2.0 * 0.08)
+    return jnp.where(inside, jnp.exp(power), 0.0), edge
 
 
 def _fragment_alpha_2d(splat, px_ndc, py_ndc, viewport):
@@ -98,7 +105,12 @@ def _fragment_alpha_2d(splat, px_ndc, py_ndc, viewport):
         [m2d[0] + dx_ndc * w, m2d[1] + dy_ndc * w], axis=-1
     )  # [H, W, 2]
     power = surfel_fragment_power(splat["surfel_t"], pixel_coord, m2d)
-    return jnp.where(inside, jnp.exp(power), 0.0)
+    safe_mr = jnp.maximum(mr, 1e-12)
+    uv = jnp.maximum(
+        jnp.abs(dx_ndc) * viewport[0], jnp.abs(dy_ndc) * viewport[1]
+    ) / safe_mr
+    edge = inside & (uv > 1.0 - 2.0 * 0.08)
+    return jnp.where(inside, jnp.exp(power), 0.0), edge
 
 
 def composite_splats(
@@ -128,17 +140,21 @@ def composite_splats(
 
     def blend_one(image, splat):
         if use_2d:
-            g = _fragment_alpha_2d(splat, px_ndc, py_ndc, viewport)
+            g, edge = _fragment_alpha_2d(splat, px_ndc, py_ndc, viewport)
         elif settings.aabb:
-            g = _fragment_alpha_3d_aabb(splat, px_vp, py_vp, viewport)
+            g, edge = _fragment_alpha_3d_aabb(splat, px_vp, py_vp, viewport)
         else:
-            g = _fragment_alpha_3d_obb(splat, px_vp, py_vp, viewport)
+            g, edge = _fragment_alpha_3d_obb(splat, px_vp, py_vp, viewport)
         alpha = jnp.minimum(g * splat["alpha"], ALPHA_CAP)
         alpha = jnp.where(splat["mask"], alpha, 0.0)
-        src = jnp.concatenate(
-            [splat["rgb"][None, None, :] * alpha[..., None], alpha[..., None]],
-            axis=-1,
-        )
+        src_rgb = splat["rgb"][None, None, :] * alpha[..., None]
+        if settings.visualize_bounding_box:
+            # opaque green quad borders (gaussian.wgsl:486-495)
+            edge = edge & splat["mask"]
+            alpha = jnp.where(edge, 1.0, alpha)
+            green = jnp.array([0.3, 1.0, 0.1], jnp.float32)
+            src_rgb = jnp.where(edge[..., None], green, src_rgb)
+        src = jnp.concatenate([src_rgb, alpha[..., None]], axis=-1)
         image = src + image * (1.0 - alpha[..., None])
         return image, None
 

@@ -240,6 +240,8 @@ def _eval_chunk_gaussian(params, px_vp, py_vp, px_ndc, py_ndc, settings, width, 
         inside = (jnp.abs(dxn) * width <= mr) & (jnp.abs(dyn) * height <= mr)
         pcx = m2x + dxn * width
         pcy = m2y + dyn * width
+        uvm = jnp.maximum(jnp.abs(dxn) * width, jnp.abs(dyn) * height) / jnp.maximum(mr, 1e-12)
+        edge = inside & (uvm > 1.0 - 2.0 * 0.08)
         # surfel_fragment_power inline (gaussian_2d.wgsl:134-156); T columns:
         # T0 = (t0, t1, t2), T1 = (t3, t4, t5), T2 = (t6, t7, t8) in math rows
         # stored row-major [3, 3]: t[3 * r + c] = T[r][c]; columns c fixed.
@@ -265,7 +267,12 @@ def _eval_chunk_gaussian(params, px_vp, py_vp, px_ndc, py_ndc, settings, width, 
             + params[..., 3:4] * dx * dy
         )
         r = params[..., 5:6]
-        inside = (jnp.abs(dx) <= r) & (jnp.abs(dy) <= r) & (power <= 0.0)
+        in_quad = (jnp.abs(dx) <= r) & (jnp.abs(dy) <= r)
+        inside = in_quad & (power <= 0.0)
+        edge = in_quad & (
+            jnp.maximum(jnp.abs(dx), jnp.abs(dy)) / jnp.maximum(r, 1e-12)
+            > 1.0 - 2.0 * 0.08
+        )
         g = jnp.where(inside, jnp.exp(power), 0.0)
     else:
         cx = params[..., 0:1]
@@ -281,8 +288,9 @@ def _eval_chunk_gaussian(params, px_vp, py_vp, px_ndc, py_ndc, settings, width, 
         u = (dx * e1x + dy * e1y) / safe1
         v = (dx * e1y - dy * e1x) / safe2
         inside = (jnp.abs(u) <= 1.0) & (jnp.abs(v) <= 1.0) & (b1 > 0.0)
+        edge = inside & (jnp.maximum(jnp.abs(u), jnp.abs(v)) > 1.0 - 2.0 * 0.08)
         g = jnp.where(inside, jnp.exp(-4.5 * (u * u + v * v)), 0.0)
-    return g
+    return g, edge
 
 
 def composite_tiles(
@@ -351,20 +359,33 @@ def composite_tiles(
         p = params_padded[idx]  # [T, C, c_params]
 
         # broadcasting: params[..., k:k+1] is [T, C, 1] against pixels [T, 1, 256]
-        g = _eval_chunk_gaussian(
+        g, edge = _eval_chunk_gaussian(
             p, tpx_vp, tpy_vp, tpx_ndc, tpy_ndc, settings, width, height
         )  # [T, C, 256]
 
         alpha = jnp.minimum(g * p[:, :, rgb_off + 3 : rgb_off + 4], ALPHA_CAP)
+        if settings.visualize_bounding_box:
+            # opaque green quad borders (gaussian.wgsl:486-495); only splats
+            # with nonzero opacity carry a box
+            edge = edge & (p[:, :, rgb_off + 3 : rgb_off + 4] > 0.0)
+            alpha = jnp.where(edge, 1.0, alpha)
         one_minus = 1.0 - alpha
         # exclusive cumulative transmittance within the chunk (front-to-back)
         cum = jnp.cumprod(one_minus, axis=1)
         excl = jnp.concatenate([jnp.ones_like(cum[:, :1]), cum[:, :-1]], axis=1)
         w = alpha * excl * transmittance[:, None, :]  # [T, C, 256]
         rgb = p[:, :, rgb_off : rgb_off + 3]  # [T, C, 3]
-        accum = accum + jnp.einsum(
-            "tcp,tck->tpk", w, rgb, precision=jax.lax.Precision.HIGHEST
-        )
+        if settings.visualize_bounding_box:
+            green = jnp.array([0.3, 1.0, 0.1], jnp.float32)
+            contrib = [
+                jnp.sum(w * jnp.where(edge, green[ch], rgb[:, :, ch : ch + 1]), axis=1)
+                for ch in range(3)
+            ]
+            accum = accum + jnp.stack(contrib, axis=-1)
+        else:
+            accum = accum + jnp.einsum(
+                "tcp,tck->tpk", w, rgb, precision=jax.lax.Precision.HIGHEST
+            )
         transmittance = transmittance * cum[:, -1, :]
         return (accum, transmittance), None
 
@@ -489,9 +510,12 @@ def render_tiled(
     g_s, tile_s, valid_s, _ = bin_gaussians(splats, settings, width, height, p_max)
     params = pack_raster_params(splats, settings, width, height)
     start, end = tile_ranges(tile_s, (width // TILE) * (height // TILE))
-    if compositor == "pallas" and settings.gaussian_mode == GaussianMode.GAUSSIAN_2D:
-        # 2DGS surfel kernel not yet ported to Pallas; XLA compositor is the
-        # correct fallback (identical math, no error surface for callers)
+    if compositor == "pallas" and (
+        settings.gaussian_mode == GaussianMode.GAUSSIAN_2D
+        or settings.visualize_bounding_box
+    ):
+        # 2DGS surfels and bbox visualization aren't in the Pallas kernel yet;
+        # the XLA compositor is the correct fallback (identical math)
         compositor = "xla"
     if compositor != "pallas":
         params_sorted = params[g_s]

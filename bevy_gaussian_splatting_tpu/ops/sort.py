@@ -120,3 +120,54 @@ def final_pass_parity(depth_bits: int) -> int:
     The final pass must land in ``sorted_entries``; with digit_places passes the
     initial parity is digit_places % 2."""
     return digit_places(depth_bits) % 2
+
+
+# -- host re-sort scheduling (reference SortConfig / SortTrigger) -------------
+
+
+class SortSchedule:
+    """Adaptive host-sort throttle mirroring the reference's policy
+    (src/sort/mod.rs:76-86, 153-194; std_sort.rs:121-129):
+
+      - re-sort when the camera moved and at least ``period_ms`` elapsed
+      - after each sort, period_ms = max(1000, 4 * measured sort duration)
+
+    Device sorts re-sort every frame (they are effectively free); this is for
+    the CPU SortMode.STD / SortMode.RAYON paths on huge clouds."""
+
+    def __init__(self, period_ms: float = 1000.0):
+        self.period_ms = period_ms
+        self.last_sort_ms: float = -1e30
+        self.last_camera_position = None
+        self.order = None
+
+    def needs_sort(self, camera_position, now_ms: float) -> bool:
+        import numpy as _np
+
+        if self.order is None or self.last_camera_position is None:
+            return True
+        moved = not _np.allclose(
+            _np.asarray(camera_position), self.last_camera_position, atol=1e-6
+        )
+        return moved and (now_ms - self.last_sort_ms) >= self.period_ms
+
+    def maybe_sort(self, position, model_transform, camera_position, now_ms=None):
+        """Returns the (possibly cached) back-to-front order."""
+        import time as _time
+
+        import numpy as _np
+
+        if now_ms is None:
+            now_ms = _time.perf_counter() * 1e3
+        if self.needs_sort(camera_position, now_ms):
+            t0 = _time.perf_counter()
+            self.order = sort_gaussians_host(
+                _np.asarray(position), _np.asarray(model_transform),
+                _np.asarray(camera_position),
+            )
+            duration_ms = (_time.perf_counter() - t0) * 1e3
+            # reference: period >= max(1000ms, 4x sort duration)
+            self.period_ms = max(1000.0, 4.0 * duration_ms)
+            self.last_sort_ms = now_ms
+            self.last_camera_position = _np.asarray(camera_position).copy()
+        return self.order
