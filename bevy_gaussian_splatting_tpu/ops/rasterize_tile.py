@@ -89,19 +89,57 @@ def _pixel_extents(splats: dict, settings: CloudSettings, width, height):
     return cx_px, cy_px, rx, ry
 
 
+_NEG_INF_I32 = -(2**31 - 1)
+
+
+def _cummax_axis(x: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Inclusive cummax via explicit log-shift pad/max steps.
+
+    Both ``lax.cummax`` and ``lax.associative_scan`` take minutes to COMPILE on
+    the TPU backend at large sizes (measured 320-340 s at 8M elements; the
+    runtime is fine).  log2(n) pad+slice+maximum ops compile in seconds and
+    run identically."""
+    n = x.shape[axis]
+    shift = 1
+    while shift < n:
+        pad = [(0, 0)] * x.ndim
+        pad[axis] = (shift, 0)
+        shifted = jnp.pad(x, pad, constant_values=_NEG_INF_I32)
+        shifted = jax.lax.slice_in_dim(shifted, 0, n, axis=axis)
+        x = jnp.maximum(x, shifted)
+        shift *= 2
+    return x
+
+
+def _blocked_cummax(x: jnp.ndarray, block: int = 512) -> jnp.ndarray:
+    """Inclusive cummax of a long 1D array: per-row log-shift scan over
+    ``block`` lanes + a tiny carry scan (keeps every op lane-shaped)."""
+    n = x.shape[0]
+    pad = (-n) % block
+    if pad:
+        x = jnp.concatenate([x, jnp.full((pad,), _NEG_INF_I32, x.dtype)])
+    rows = x.reshape((n + pad) // block, block)
+    within = _cummax_axis(rows, axis=1)
+    carry = _cummax_axis(within[:, -1], axis=0)
+    carry_excl = jnp.concatenate(
+        [jnp.full((1,), _NEG_INF_I32, x.dtype), carry[:-1]]
+    )
+    return jnp.maximum(within, carry_excl[:, None]).reshape(-1)[:n]
+
+
 def slot_owner_scan(starts: jnp.ndarray, owner_ids: jnp.ndarray, p_max: int) -> jnp.ndarray:
     """For segments laid out back-to-back (``starts`` non-decreasing), return
-    per-slot owner ids via scatter-max + cumulative max.
+    per-slot owner ids via scatter-max + blocked cumulative max.
 
     Replaces ``searchsorted(cum, arange(p_max))`` — XLA lowers that to a
     ~20-iteration binary-search gather loop over p_max queries (the dominant
-    binning cost at 8M slots); scatter + associative cummax is two passes.
-    Owners with empty segments share a start with their successor; max picks
-    the last (the actual owner).  Slots past the final segment keep the last
-    owner id (callers mask by total)."""
+    binning cost at 8M slots); scatter + cummax is two passes.  Owners with
+    empty segments share a start with their successor; max picks the last (the
+    actual owner).  Slots past the final segment keep the last owner id
+    (callers mask by total)."""
     marks = jnp.zeros((p_max,), jnp.int32)
     marks = marks.at[starts].max(owner_ids + 1, mode="drop")
-    return jnp.maximum(jax.lax.associative_scan(jnp.maximum, marks) - 1, 0)
+    return jnp.maximum(_blocked_cummax(marks) - 1, 0)
 
 
 def bin_gaussians(
