@@ -55,8 +55,11 @@ def supports(settings: CloudSettings) -> bool:
 
 
 def pairs_budget(n: int) -> int:
-    """Static (gaussian, tile) pair capacity, bucketed to limit recompiles."""
-    return int(min(max(8 * n, 1 << 14), 1 << 23))
+    """Static (gaussian, tile) pair capacity, bucketed to limit recompiles.
+
+    Overflow truncates the farthest pairs (expansion is depth-ordered), which
+    degrades gracefully like the reference's draw-indirect count cap."""
+    return int(min(max(6 * n, 1 << 14), 3 << 21))
 
 
 def tile_budget(n: int) -> int:
@@ -585,7 +588,10 @@ def render_tiled(
         slot_valid = (j >= 0) & (j < tpack[:, 1])
         src = jnp.clip(tpack[:, 2] + j, 0, g_s.shape[0] - 1)
         g_aligned = jnp.where(slot_valid, g_s[src], 0)
-        pair_ok = slot_valid & jnp.where(slot_valid, valid_s[src], False)
+        # in-count slots always reference valid pairs: tile ranges only span
+        # the sorted-valid prefix (invalid pairs carry the sentinel tile id and
+        # sort after every real tile), so no valid_s gather is needed
+        pair_ok = slot_valid
         # jnp.where (not multiply): its transpose SELECTS the cotangent, so
         # garbage gradients in never-written kernel output slots (beyond the
         # last tile's chunk coverage) cannot leak through as 0 * NaN
