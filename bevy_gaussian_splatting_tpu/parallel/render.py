@@ -90,6 +90,7 @@ def _local_band_render(
     width: int,
     height: int,
     n_bands: int,
+    compositor: str = "xla",
 ):
     """The shard_map body: local projection -> all-gather splats -> composite
     this device's band of tile rows -> [height/n_bands, width, 4]."""
@@ -159,9 +160,44 @@ def _local_band_render(
     # y center for the band-local frame (col 1 = cy_vp for 3D/4D packing)
     params_band = gathered["params"].at[:, 1].set(cy_band * band_h)
 
-    params_sorted = params_band[g_s]
-    start, end = tile_ranges(tile_s, (width // TILE) * (band_h // TILE))
+    num_band_tiles = (width // TILE) * (band_h // TILE)
+    start, end = tile_ranges(tile_s, num_band_tiles)
 
+    if compositor == "pallas" and settings.gaussian_mode.value != "gaussian_2d":
+        import jax as _jax
+
+        from bevy_gaussian_splatting_tpu.ops.rasterize_tile import slot_owner_scan
+        from bevy_gaussian_splatting_tpu.ops.pallas.core import get_composite_core
+        from bevy_gaussian_splatting_tpu.ops.pallas.tile_fwd import (
+            composite_epilogue,
+        )
+
+        count = jnp.minimum(end - start, k_max)
+        aligned_count = (count + 127) // 128 * 128
+        aligned_start = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32),
+             jnp.cumsum(aligned_count)[:-1].astype(jnp.int32)]
+        )
+        p_aligned = p_max + 128 * num_band_tiles
+        slots = jnp.arange(p_aligned, dtype=jnp.int32)
+        t_starts = jnp.where(aligned_count > 0, aligned_start, p_aligned)
+        t_of = slot_owner_scan(
+            t_starts, jnp.arange(num_band_tiles, dtype=jnp.int32), p_aligned
+        )
+        tpack = jnp.stack([aligned_start, count, start], axis=1)[t_of]
+        jj = slots - tpack[:, 0]
+        slot_valid = (jj >= 0) & (jj < tpack[:, 1])
+        src = jnp.clip(tpack[:, 2] + jj, 0, g_s.shape[0] - 1)
+        g_aligned = jnp.where(slot_valid, g_s[src], 0)
+        params_aligned = jnp.where(
+            slot_valid[:, None], params_band[g_aligned], 0.0
+        )
+        interpret = _jax.default_backend() != "tpu"
+        core = get_composite_core(settings, width, band_h, interpret)
+        out_raw = core(params_aligned, aligned_start, count)
+        return composite_epilogue(out_raw, background, width, band_h)
+
+    params_sorted = params_band[g_s]
     img_band = composite_tiles(
         params_sorted, valid_s, start, end, settings, width, band_h,
         k_max=k_max, background=background, differentiable=True,
@@ -174,6 +210,7 @@ def make_sharded_render(
     settings: CloudSettings,
     width: int,
     height: int,
+    compositor: str = "xla",
 ):
     """Jitted sharded forward: (cloud sharded over tiles-axis, camera, ...) ->
     full [H, W, 4] image (replicated)."""
@@ -195,7 +232,7 @@ def make_sharded_render(
     def body(cloud_shard, camera, model_transform, background, time):
         return _local_band_render(
             cloud_shard, camera, settings, model_transform, background, time,
-            width, height, n_bands,
+            width, height, n_bands, compositor=compositor,
         )
 
     def fn(cloud, camera, model_transform=None, background=None, time=0.0):
@@ -223,6 +260,7 @@ def make_train_step(
     width: int,
     height: int,
     learning_rate: float = 1e-2,
+    compositor: str = "xla",
 ):
     """Sharded differentiable train step: render -> L2 loss vs target ->
     adam update of all gaussian parameters.  Returns (step_fn, init_fn)."""
@@ -245,6 +283,7 @@ def make_train_step(
             img_band = _local_band_render(
                 shard, camera, settings, jnp.eye(4, dtype=jnp.float32),
                 jnp.zeros((4,), jnp.float32), time, width, height, n_bands,
+                compositor=compositor,
             )
             # differentiate only THIS band's error term: the all_gather
             # transpose (psum-scatter) already accumulates every band's
