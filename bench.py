@@ -115,6 +115,29 @@ def main() -> int:
         log(f"fwd+bwd failed ({type(e).__name__}: {e}); reporting forward-only")
         fb_rays = 0.0
 
+    # ---- optional secondary configs (BASELINE.md configs 3 & 4) -------------
+    if os.environ.get("BENCH_FULL") == "1":
+        from bevy_gaussian_splatting_tpu.models.settings import GaussianMode
+
+        c2 = bgs.random_gaussians_3d_seeded(100_000, seed=2)
+        s2 = settings.replace(gaussian_mode=GaussianMode.GAUSSIAN_2D)
+        pipe2 = make_tiled_pipeline(s2, width, height, differentiable=False)
+        t2 = bench_forward(
+            pipe2, lambda i: (c2, camera, mt, bg, jnp.float32(i * 1e-7)), iters
+        )
+        log(f"2DGS surfel fwd (100k): {t2 * 1e3:.2f} ms/frame")
+
+        c4 = bgs.random_gaussians_4d_seeded(100_000, seed=3)
+        s4 = settings.replace(gaussian_mode=GaussianMode.GAUSSIAN_4D)
+        pipe4 = make_tiled_pipeline(
+            s4, width, height, differentiable=False, compositor="pallas"
+        )
+        # varying time forces the per-frame 4D re-conditioning + re-sort
+        t4 = bench_forward(
+            pipe4, lambda i: (c4, camera, mt, bg, jnp.float32(i * 0.01)), iters
+        )
+        log(f"4DGS temporal fwd (100k, per-frame re-sort): {t4 * 1e3:.2f} ms/frame")
+
     metric_value = fb_rays if fb_rays > 0 else fwd_rays
     print(
         json.dumps(
