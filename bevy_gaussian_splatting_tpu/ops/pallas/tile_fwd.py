@@ -119,16 +119,21 @@ def _composite_kernel(
     early_exit: bool = True,
 ):
     t = pl.program_id(0)
-    start = pl.multiple_of(start_ref[t], 128)
+    start_raw = start_ref[t]
+    # DMA base aligned down to the lane tiling; the sub-128 prefix is masked
+    # out of the first chunk, so callers need not pre-align tile ranges
+    base = pl.multiple_of((start_raw // 128) * 128, 128)
+    prefix = start_raw - base
     count = count_ref[t]
+    total = count + prefix
     px_vp, py_vp = _tile_pixel_coords(t, tx_count, width, height)
 
-    n_chunks = pl.cdiv(count, chunk_size)
+    n_chunks = pl.cdiv(total, chunk_size)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk_size), 1)
 
     def dma(slot, chunk_idx):
         return pltpu.make_async_copy(
-            params_hbm.at[:, pl.ds(start + chunk_idx * chunk_size, chunk_size)],
+            params_hbm.at[:, pl.ds(base + chunk_idx * chunk_size, chunk_size)],
             chunk_vmem.at[slot],
             sem.at[slot],
         )
@@ -148,8 +153,8 @@ def _composite_kernel(
         chunk = chunk_vmem[c % 2]
 
         alpha = _chunk_alpha(chunk, px_vp, py_vp, aabb)  # [PIX, chunk]
-        remaining = count - c * chunk_size
-        alpha = jnp.where(lane < remaining, alpha, 0.0)
+        lane_idx = c * chunk_size + lane
+        alpha = jnp.where((lane_idx >= prefix) & (lane_idx < total), alpha, 0.0)
 
         one_minus = 1.0 - alpha
         cum = _cumprod_lanes(one_minus)  # [PIX, CHUNK]

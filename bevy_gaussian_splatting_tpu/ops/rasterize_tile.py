@@ -561,6 +561,24 @@ def render_tiled(
     if compositor != "pallas":
         params_sorted = params[g_s]
 
+    if compositor == "pallas" and not differentiable:
+        # forward-only: the kernel handles unaligned tile starts directly (DMA
+        # base aligned down + prefix masking), so no alignment stage or second
+        # gather is needed
+        from bevy_gaussian_splatting_tpu.ops.pallas.tile_fwd import (
+            pallas_composite_tiles,
+        )
+
+        import jax as _jax
+
+        interpret = _jax.default_backend() != "tpu"
+        params_sorted = jnp.where(valid_s[:, None], params[g_s], 0.0)
+        count = jnp.minimum(end - start, k_max)
+        return pallas_composite_tiles(
+            params_sorted, start, count, settings, width, height,
+            background=background, interpret=interpret,
+        )
+
     if compositor == "pallas":
         from bevy_gaussian_splatting_tpu.ops.pallas.tile_fwd import (
             pallas_composite_tiles,
