@@ -20,17 +20,24 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def bench_forward(pipe, args_fn, iters: int) -> float:
+def bench_forward(pipe, args_fn, iters: int, windows: int = 3) -> float:
+    """Min over several timing windows — the remote-relay execution path has
+    high run-to-run variance; min is the robust per-frame estimate."""
     import numpy as np
 
     out = pipe(*args_fn(0))
     _ = np.asarray(out[0, 0])  # compile + settle
-    t0 = time.perf_counter()
-    for i in range(iters):
-        out = pipe(*args_fn(i + 1))
-    _ = np.asarray(out[0, 0])
-    t1 = time.perf_counter()
-    return (t1 - t0) / iters
+    best = float("inf")
+    k = 0
+    for _w in range(windows):
+        t0 = time.perf_counter()
+        for _i in range(iters):
+            k += 1
+            out = pipe(*args_fn(k))
+        _ = np.asarray(out[0, 0])
+        t1 = time.perf_counter()
+        best = min(best, (t1 - t0) / iters)
+    return best
 
 
 def main() -> int:
@@ -98,13 +105,17 @@ def main() -> int:
     try:
         l, g = fwd_bwd(cloud, jnp.float32(0.0))
         _ = float(l)
-        t0 = time.perf_counter()
-        for i in range(iters):
-            l, g = fwd_bwd(cloud, jnp.float32((i + 1) * 1e-7))
-        _ = float(l)
-        _ = np.asarray(g.position_visibility[0, 0])
-        t1 = time.perf_counter()
-        t_fb = (t1 - t0) / iters
+        t_fb = float("inf")
+        k = 0
+        for _w in range(3):
+            t0 = time.perf_counter()
+            for _i in range(iters):
+                k += 1
+                l, g = fwd_bwd(cloud, jnp.float32(k * 1e-7))
+            _ = float(l)
+            _ = np.asarray(g.position_visibility[0, 0])
+            t1 = time.perf_counter()
+            t_fb = min(t_fb, (t1 - t0) / iters)
         fb_rays = width * height / t_fb
         log(f"fwd+bwd: {t_fb * 1e3:.2f} ms/step = {fb_rays / 1e6:.2f} Mrays/s")
         grads_finite = bool(
