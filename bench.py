@@ -48,6 +48,8 @@ def main() -> int:
     import bevy_gaussian_splatting_tpu as bgs
     from bevy_gaussian_splatting_tpu.ops.rasterize_tile import (
         make_tiled_pipeline,
+        pair_count,
+        pairs_budget,
         render_tiled,
     )
 
@@ -76,9 +78,19 @@ def main() -> int:
     mt = jnp.eye(4, dtype=jnp.float32)
     bg = jnp.zeros((4,), jnp.float32)
 
+    # ---- adaptive pair budget (what render/api.py does per scene) -----------
+    total_pairs = int(
+        jax.jit(lambda c: pair_count(c, camera, settings, width=width, height=height))(
+            cloud
+        )
+    )
+    budget = pairs_budget(n, total_pairs)
+    log(f"pair count {total_pairs} -> budget {budget} (static cap {pairs_budget(n)})")
+
     # ---- forward-only (serving path, Pallas kernel) -------------------------
     fwd_pipe = make_tiled_pipeline(
-        settings, width, height, differentiable=False, compositor="pallas"
+        settings, width, height, differentiable=False, compositor="pallas",
+        pairs_max=budget,
     )
     t_fwd = bench_forward(
         fwd_pipe, lambda i: (cloud, camera, mt, bg, jnp.float32(i * 1e-7)), iters
@@ -95,7 +107,7 @@ def main() -> int:
             img = render_tiled(
                 c, camera, settings, mt, bg, t,
                 width=width, height=height, differentiable=True,
-                compositor="pallas",
+                compositor="pallas", pairs_max=budget,
             )
             return jnp.mean((img - target) ** 2)
 

@@ -35,11 +35,18 @@ def _typed_f32_vec(b, values):
     b.TypedVectorFromElements([float(v) for v in values], element_type=flexbuffers.Type.FLOAT)
 
 
-def encode_gcloud_3d(cloud: Gaussian3dCloud) -> bytes:
+def encode_gcloud_3d(cloud: Gaussian3dCloud, use_native: bool = True) -> bytes:
     pv = np.asarray(cloud.position_visibility, np.float32)
     sh = np.asarray(cloud.spherical_harmonic, np.float32)
     rot = np.asarray(cloud.rotation, np.float32)
     so = np.asarray(cloud.scale_opacity, np.float32)
+
+    if use_native:
+        from bevy_gaussian_splatting_tpu import native
+
+        data = native.encode_gcloud_3d_native(pv, sh, rot, so)
+        if data is not None:
+            return data
 
     b = flexbuffers.Builder()
     with b.Map():
@@ -74,12 +81,19 @@ def encode_gcloud_3d(cloud: Gaussian3dCloud) -> bytes:
     return bytes(b.Finish())
 
 
-def encode_gcloud_4d(cloud: Gaussian4dCloud) -> bytes:
+def encode_gcloud_4d(cloud: Gaussian4dCloud, use_native: bool = True) -> bytes:
     pv = np.asarray(cloud.position_visibility, np.float32)
     sh = np.asarray(cloud.spherindrical_harmonic, np.float32)
     iso = np.asarray(cloud.isotropic_rotations, np.float32)
     so = np.asarray(cloud.scale_opacity, np.float32)
     ts = np.asarray(cloud.timestamp_timescale, np.float32)
+
+    if use_native:
+        from bevy_gaussian_splatting_tpu import native
+
+        data = native.encode_gcloud_4d_native(pv, sh, iso, so, ts)
+        if data is not None:
+            return data
 
     b = flexbuffers.Builder()
     with b.Map():
@@ -135,7 +149,19 @@ def _rows_to_array(rows, extract) -> np.ndarray:
     return np.asarray([extract(r) for r in rows], dtype=np.float32)
 
 
-def decode_gcloud_3d(data: bytes) -> Gaussian3dCloud:
+def decode_gcloud_3d(data: bytes, use_native: bool = True) -> Gaussian3dCloud:
+    if use_native:
+        from bevy_gaussian_splatting_tpu import native
+
+        d = native.decode_gcloud_native(data)
+        if d is not None and not d["is4d"]:
+            return Gaussian3dCloud(
+                position_visibility=jnp.asarray(d["pv"]),
+                spherical_harmonic=jnp.asarray(d["sh"]),
+                rotation=jnp.asarray(d["rot"]),
+                scale_opacity=jnp.asarray(d["so"]),
+            )
+
     root = flexbuffers.GetRoot(data).AsMap
 
     pv_rows = root["position_visibility"].AsVector
@@ -162,7 +188,20 @@ def decode_gcloud_3d(data: bytes) -> Gaussian3dCloud:
     )
 
 
-def decode_gcloud_4d(data: bytes) -> Gaussian4dCloud:
+def decode_gcloud_4d(data: bytes, use_native: bool = True) -> Gaussian4dCloud:
+    if use_native:
+        from bevy_gaussian_splatting_tpu import native
+
+        d = native.decode_gcloud_native(data)
+        if d is not None and d["is4d"]:
+            return Gaussian4dCloud(
+                position_visibility=jnp.asarray(d["pv"]),
+                spherindrical_harmonic=jnp.asarray(d["sh"]),
+                isotropic_rotations=jnp.asarray(d["iso"]),
+                scale_opacity=jnp.asarray(d["so"]),
+                timestamp_timescale=jnp.asarray(d["ts"]),
+            )
+
     root = flexbuffers.GetRoot(data).AsMap
 
     pv = _rows_to_array(

@@ -55,6 +55,23 @@ def _build_and_load():
                 ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32),
                 ctypes.c_int64,
             ]
+            fp = ctypes.POINTER(ctypes.c_float)
+            u8p = ctypes.POINTER(ctypes.c_uint8)
+            for name, args in [
+                ("gcloud3d_size", [ctypes.c_int64]),
+                ("gcloud4d_size", [ctypes.c_int64]),
+                ("gcloud3d_encode", [fp, fp, fp, fp, ctypes.c_int64, u8p]),
+                ("gcloud4d_encode", [fp, fp, fp, fp, fp, ctypes.c_int64, u8p]),
+                ("gcloud_probe", [ctypes.c_char_p, ctypes.c_int64,
+                                  ctypes.POINTER(ctypes.c_int32)]),
+                ("gcloud3d_decode", [ctypes.c_char_p, ctypes.c_int64,
+                                     fp, fp, fp, fp, ctypes.c_int64]),
+                ("gcloud4d_decode", [ctypes.c_char_p, ctypes.c_int64,
+                                     fp, fp, fp, fp, fp, ctypes.c_int64]),
+            ]:
+                f = getattr(lib, name)
+                f.restype = ctypes.c_int64
+                f.argtypes = args
             _LIB = lib
         except Exception:
             _LIB = None
@@ -90,6 +107,82 @@ def parse_ply_3d_native(data: bytes, strict_reference: bool = True, n_threads: i
     if got != padded:
         return None
     return pv, sh, rot, so
+
+
+def _fptr(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def encode_gcloud_3d_native(pv, sh, rot, so):
+    """Flexbuffers-encode a planar 3D cloud -> bytes, or None if unavailable."""
+    lib = _build_and_load()
+    if lib is None:
+        return None
+    n = len(pv)
+    pv = np.ascontiguousarray(pv, np.float32)
+    sh = np.ascontiguousarray(sh, np.float32)
+    rot = np.ascontiguousarray(rot, np.float32)
+    so = np.ascontiguousarray(so, np.float32)
+    out = np.empty(lib.gcloud3d_size(n), np.uint8)
+    got = lib.gcloud3d_encode(
+        _fptr(pv), _fptr(sh), _fptr(rot), _fptr(so), n,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return out[:got].tobytes() if got > 0 else None
+
+
+def encode_gcloud_4d_native(pv, sh, iso, so, ts):
+    lib = _build_and_load()
+    if lib is None:
+        return None
+    n = len(pv)
+    pv = np.ascontiguousarray(pv, np.float32)
+    sh = np.ascontiguousarray(sh, np.float32)
+    iso = np.ascontiguousarray(iso, np.float32)
+    so = np.ascontiguousarray(so, np.float32)
+    ts = np.ascontiguousarray(ts, np.float32)
+    out = np.empty(lib.gcloud4d_size(n), np.uint8)
+    got = lib.gcloud4d_encode(
+        _fptr(pv), _fptr(sh), _fptr(iso), _fptr(so), _fptr(ts), n,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return out[:got].tobytes() if got > 0 else None
+
+
+def decode_gcloud_native(data: bytes):
+    """Decode a flexbuffers gcloud buffer -> dict of arrays, or None.
+
+    Returns {"pv", "sh", "rot"|"iso", "so"[, "ts"], "is4d"}."""
+    lib = _build_and_load()
+    if lib is None:
+        return None
+    is4d = ctypes.c_int32(0)
+    n = lib.gcloud_probe(data, len(data), ctypes.byref(is4d))
+    if n < 0:
+        return None
+    if is4d.value:
+        pv = np.zeros((n, 4), np.float32)
+        sh = np.zeros((n, 144), np.float32)
+        iso = np.zeros((n, 8), np.float32)
+        so = np.zeros((n, 4), np.float32)
+        ts = np.zeros((n, 2), np.float32)
+        got = lib.gcloud4d_decode(
+            data, len(data), _fptr(pv), _fptr(sh), _fptr(iso), _fptr(so),
+            _fptr(ts), n,
+        )
+        if got != n:
+            return None
+        return {"pv": pv, "sh": sh, "iso": iso, "so": so, "ts": ts, "is4d": True}
+    pv = np.zeros((n, 4), np.float32)
+    sh = np.zeros((n, 48), np.float32)
+    rot = np.zeros((n, 4), np.float32)
+    so = np.zeros((n, 4), np.float32)
+    got = lib.gcloud3d_decode(
+        data, len(data), _fptr(pv), _fptr(sh), _fptr(rot), _fptr(so), n
+    )
+    if got != n:
+        return None
+    return {"pv": pv, "sh": sh, "rot": rot, "so": so, "is4d": False}
 
 
 def radix_sort_pairs(keys: np.ndarray, values: np.ndarray):

@@ -252,6 +252,534 @@ int64_t ply3d_count(const uint8_t* data, int64_t len) {
   return info.vertex_count + (32 - info.vertex_count % 32);
 }
 
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Flexbuffers .gcloud codec (serde layout of src/io/gcloud/flexbuffers.rs).
+//
+// Encoder: schema-specialized writer producing a standard flexbuffers buffer
+// readable by any conforming reader (the Python flatbuffers.flexbuffers module
+// round-trips it in tests).  Design choices for speed: all offsets/sizes use
+// fixed 4-byte widths, each column shares ONE key vector across its N row maps
+// (the format explicitly allows key-vector sharing), and every row has a fixed
+// byte stride so encoding is a tight memcpy loop.
+//
+// Decoder: a general reader for the subset used by gcloud buffers (maps,
+// untyped vectors, typed float/key vectors, inline floats at any byte width),
+// so it also decodes buffers written by minimal-width encoders.
+// ---------------------------------------------------------------------------
+
+namespace gcloudfb {
+
+constexpr uint8_t kPackedFloatW32 = (3 << 2) | 2;    // inline FLOAT, W32 parent
+constexpr uint8_t kPackedVecFloat = (13 << 2) | 2;   // VECTOR_FLOAT, W32
+constexpr uint8_t kPackedMap = (9 << 2) | 2;         // MAP, W32
+constexpr uint8_t kPackedVec = (10 << 2) | 2;        // VECTOR (untyped), W32
+
+struct Writer {
+  uint8_t* buf;
+  size_t pos = 0;
+  void u8(uint8_t v) { buf[pos++] = v; }
+  void u32(uint32_t v) {
+    memcpy(buf + pos, &v, 4);
+    pos += 4;
+  }
+  void f32(float v) {
+    memcpy(buf + pos, &v, 4);
+    pos += 4;
+  }
+  void f32s(const float* v, int n) {
+    memcpy(buf + pos, v, 4 * size_t(n));
+    pos += 4 * size_t(n);
+  }
+  void bytes(const char* s, size_t n) {
+    memcpy(buf + pos, s, n);
+    pos += n;
+  }
+  void align4() {
+    while (pos & 3) buf[pos++] = 0;
+  }
+  // offset slot: stores (slot position - target)
+  void off(size_t target) { u32(static_cast<uint32_t>(pos - target)); }
+};
+
+// Writes a null-terminated key and returns its offset.
+inline size_t put_key(Writer& w, const char* s) {
+  size_t loc = w.pos;
+  w.bytes(s, strlen(s) + 1);
+  return loc;
+}
+
+// Typed key vector from sorted key offsets; returns vector loc (element 0).
+inline size_t put_keys_vector(Writer& w, const size_t* keys, int n) {
+  w.align4();
+  w.u32(static_cast<uint32_t>(n));
+  size_t loc = w.pos;
+  for (int i = 0; i < n; ++i) w.off(keys[i]);
+  return loc;
+}
+
+// Typed f32 vector; returns loc.
+inline size_t put_f32_vector(Writer& w, const float* v, int n) {
+  w.align4();
+  w.u32(static_cast<uint32_t>(n));
+  size_t loc = w.pos;
+  w.f32s(v, n);
+  return loc;
+}
+
+// Map with a shared keys vector; values are (loc, packed_type) pairs where a
+// packed type of kPackedFloatW32 means `inline_val` is written inline.
+struct MapVal {
+  size_t loc;      // target for offset slots; ignored for inline
+  uint8_t type;
+  float inline_val;  // used when type == kPackedFloatW32
+};
+
+inline size_t put_map(Writer& w, size_t keys_loc, const MapVal* vals, int n) {
+  w.align4();
+  w.off(keys_loc);
+  w.u32(4);  // keys vector byte width
+  w.u32(static_cast<uint32_t>(n));
+  size_t loc = w.pos;
+  for (int i = 0; i < n; ++i) {
+    if (vals[i].type == kPackedFloatW32) {
+      w.f32(vals[i].inline_val);
+    } else {
+      w.off(vals[i].loc);
+    }
+  }
+  for (int i = 0; i < n; ++i) w.u8(vals[i].type);
+  return loc;
+}
+
+// Untyped vector of N offset elements with one shared packed type.
+inline size_t put_offset_vector(Writer& w, const size_t* locs, int64_t n,
+                                uint8_t packed_type) {
+  w.align4();
+  w.u32(static_cast<uint32_t>(n));
+  size_t loc = w.pos;
+  for (int64_t i = 0; i < n; ++i) w.off(locs[i]);
+  for (int64_t i = 0; i < n; ++i) w.u8(packed_type);
+  return loc;
+}
+
+// ---- columns ----------------------------------------------------------------
+
+// vec-field + scalar-field rows, e.g. {position: [f32;3], visibility: f} —
+// keys must be passed sorted; `vec_first` says whether the vector field sorts
+// before the scalar field.
+inline size_t put_vec_scalar_column(Writer& w, size_t key_vec, size_t key_scalar,
+                                    bool vec_first, const float* data, int64_t n,
+                                    int vec_dim, std::vector<size_t>& scratch) {
+  size_t keys[2] = {vec_first ? key_vec : key_scalar,
+                    vec_first ? key_scalar : key_vec};
+  size_t kv = put_keys_vector(w, keys, 2);
+  scratch.resize(n);
+  for (int64_t r = 0; r < n; ++r) {
+    const float* row = data + r * (vec_dim + 1);
+    size_t vloc = put_f32_vector(w, row, vec_dim);
+    MapVal vals[2];
+    MapVal vecv{vloc, kPackedVecFloat, 0.0f};
+    MapVal scal{0, kPackedFloatW32, row[vec_dim]};
+    vals[0] = vec_first ? vecv : scal;
+    vals[1] = vec_first ? scal : vecv;
+    scratch[r] = put_map(w, kv, vals, 2);
+  }
+  return put_offset_vector(w, scratch.data(), n, kPackedMap);
+}
+
+// single-vector rows, e.g. {rotation: [f32;4]} or {coefficients: [f32;48]}
+inline size_t put_vec_column(Writer& w, size_t key, const float* data,
+                             int64_t n, int dim, std::vector<size_t>& scratch) {
+  size_t kv = put_keys_vector(w, &key, 1);
+  scratch.resize(n);
+  for (int64_t r = 0; r < n; ++r) {
+    size_t vloc = put_f32_vector(w, data + r * dim, dim);
+    MapVal v{vloc, kPackedVecFloat, 0.0f};
+    scratch[r] = put_map(w, kv, &v, 1);
+  }
+  return put_offset_vector(w, scratch.data(), n, kPackedMap);
+}
+
+// two-vector rows: {rotation: [f32;4], rotation_r: [f32;4]} (keys pre-sorted)
+inline size_t put_vec2_column(Writer& w, size_t key_a, size_t key_b,
+                              const float* data, int64_t n, int dim_a, int dim_b,
+                              std::vector<size_t>& scratch) {
+  size_t keys[2] = {key_a, key_b};
+  size_t kv = put_keys_vector(w, keys, 2);
+  scratch.resize(n);
+  for (int64_t r = 0; r < n; ++r) {
+    const float* row = data + r * (dim_a + dim_b);
+    size_t va = put_f32_vector(w, row, dim_a);
+    size_t vb = put_f32_vector(w, row + dim_a, dim_b);
+    MapVal vals[2] = {{va, kPackedVecFloat, 0.0f}, {vb, kPackedVecFloat, 0.0f}};
+    scratch[r] = put_map(w, kv, vals, 2);
+  }
+  return put_offset_vector(w, scratch.data(), n, kPackedMap);
+}
+
+// two-scalar rows: {timestamp: f, timescale: f} (keys pre-sorted)
+inline size_t put_scalar2_column(Writer& w, size_t key_a, size_t key_b,
+                                 const float* data, int64_t n,
+                                 std::vector<size_t>& scratch) {
+  size_t keys[2] = {key_a, key_b};
+  size_t kv = put_keys_vector(w, keys, 2);
+  scratch.resize(n);
+  for (int64_t r = 0; r < n; ++r) {
+    MapVal vals[2] = {{0, kPackedFloatW32, data[r * 2]},
+                      {0, kPackedFloatW32, data[r * 2 + 1]}};
+    scratch[r] = put_map(w, kv, vals, 2);
+  }
+  return put_offset_vector(w, scratch.data(), n, kPackedMap);
+}
+
+inline void finish_root(Writer& w, const size_t* root_keys, const size_t* cols,
+                        int ncols) {
+  size_t kv = put_keys_vector(w, root_keys, ncols);
+  std::vector<MapVal> vals(ncols);
+  for (int i = 0; i < ncols; ++i) vals[i] = {cols[i], kPackedVec, 0.0f};
+  size_t root = put_map(w, kv, vals.data(), ncols);
+  w.align4();
+  w.off(root);
+  w.u8(kPackedMap);
+  w.u8(4);
+}
+
+// ---- generic reader (subset) -------------------------------------------------
+
+inline uint64_t rd_uint(const uint8_t* p, int bw) {
+  uint64_t v = 0;
+  memcpy(&v, p, bw);
+  return v;
+}
+
+inline double rd_float(const uint8_t* p, int bw) {
+  if (bw == 4) {
+    float f;
+    memcpy(&f, p, 4);
+    return f;
+  }
+  double d;
+  memcpy(&d, p, 8);
+  return d;
+}
+
+struct Node {
+  const uint8_t* base;  // buffer start
+  size_t pos;           // element position
+  int type;             // flexbuffers type
+  int bw;               // byte width of the pointed-to data
+};
+
+inline size_t indirect(const uint8_t* base, size_t slot, int parent_bw) {
+  return slot - rd_uint(base + slot, parent_bw);
+}
+
+// Follow an element at `slot` (inside a vector/map with `parent_bw`).
+inline Node elem(const uint8_t* base, size_t slot, int parent_bw,
+                 uint8_t packed) {
+  Node n;
+  n.base = base;
+  n.type = packed >> 2;
+  n.bw = 1 << (packed & 3);
+  if (n.type <= 3 || n.type == 26) {  // inline
+    n.pos = slot;
+    n.bw = parent_bw;
+  } else {
+    n.pos = indirect(base, slot, parent_bw);
+  }
+  return n;
+}
+
+struct MapRef {
+  const uint8_t* base;
+  size_t loc;  // values start
+  int bw;
+  int64_t len;
+  size_t keys_loc;
+  int keys_bw;
+};
+
+inline MapRef as_map(const Node& n) {
+  MapRef m;
+  m.base = n.base;
+  m.loc = n.pos;
+  m.bw = n.bw;
+  m.len = static_cast<int64_t>(rd_uint(n.base + n.pos - n.bw, n.bw));
+  size_t koff_slot = n.pos - 3 * size_t(n.bw);
+  m.keys_loc = indirect(n.base, koff_slot, n.bw);
+  m.keys_bw = static_cast<int>(rd_uint(n.base + n.pos - 2 * size_t(n.bw), n.bw));
+  return m;
+}
+
+inline Node map_get(const MapRef& m, const char* key) {
+  for (int64_t i = 0; i < m.len; ++i) {
+    size_t kslot = m.keys_loc + size_t(i) * m.keys_bw;
+    size_t kpos = indirect(m.base, kslot, m.keys_bw);
+    if (strcmp(reinterpret_cast<const char*>(m.base + kpos), key) == 0) {
+      uint8_t packed = m.base[m.loc + size_t(m.len) * m.bw + i];
+      return elem(m.base, m.loc + size_t(i) * m.bw, m.bw, packed);
+    }
+  }
+  Node bad{};
+  bad.type = -1;
+  return bad;
+}
+
+struct VecRef {
+  const uint8_t* base;
+  size_t loc;
+  int bw;
+  int64_t len;
+  bool typed;  // typed vectors store no per-element type bytes
+  int elem_type;
+};
+
+inline VecRef as_vec(const Node& n) {
+  VecRef v;
+  v.base = n.base;
+  v.loc = n.pos;
+  v.bw = n.bw;
+  v.len = static_cast<int64_t>(rd_uint(n.base + n.pos - n.bw, n.bw));
+  v.typed = n.type >= 11 && n.type <= 15;
+  v.elem_type = v.typed ? n.type - 11 + 1 : 0;
+  return v;
+}
+
+inline Node vec_get(const VecRef& v, int64_t i) {
+  uint8_t packed;
+  if (v.typed) {
+    packed = static_cast<uint8_t>((v.elem_type << 2) | (31 - __builtin_clz(v.bw)));
+  } else {
+    packed = v.base[v.loc + size_t(v.len) * v.bw + i];
+  }
+  return elem(v.base, v.loc + size_t(i) * v.bw, v.bw, packed);
+}
+
+// read a float vector field into out[0..dim)
+inline bool read_f32s(const Node& n, float* out, int dim) {
+  if (n.type < 0) return false;
+  VecRef v = as_vec(n);
+  if (v.len < dim) return false;
+  if (v.typed && v.elem_type == 3 && v.bw == 4) {  // fast path: raw f32
+    memcpy(out, v.base + v.loc, 4 * size_t(dim));
+    return true;
+  }
+  for (int i = 0; i < dim; ++i) {
+    Node e = vec_get(v, i);
+    out[i] = static_cast<float>(rd_float(v.base + e.pos, e.bw));
+  }
+  return true;
+}
+
+inline Node root_node(const uint8_t* data, int64_t len) {
+  int root_bw = data[len - 1];
+  uint8_t packed = data[len - 2];
+  size_t slot = size_t(len) - 2 - root_bw;
+  return elem(data, slot, root_bw, packed);
+}
+
+}  // namespace gcloudfb
+
+extern "C" {
+
+// Exact encoded size for the fixed-width layout above.
+int64_t gcloud3d_size(int64_t n) {
+  // keys 109 (+3 align) ; per column: keys vec + rows + column vec
+  int64_t pv = 12 + 40 * n + (4 + 5 * n + 3) / 4 * 4;
+  int64_t rot = 8 + 40 * n + (4 + 5 * n + 3) / 4 * 4;
+  int64_t so = 12 + 40 * n + (4 + 5 * n + 3) / 4 * 4;
+  int64_t sh = 8 + 216 * n + (4 + 5 * n + 3) / 4 * 4;
+  return pv + rot + so + sh + 512;  // + keys/root blocks + alignment slack
+}
+
+int64_t gcloud4d_size(int64_t n) {
+  int64_t colvec = (4 + 5 * n + 3) / 4 * 4;
+  int64_t pv = 12 + 40 * n + colvec;
+  int64_t iso = 12 + 64 * n + colvec;  // two [4]-vecs (20+20) + map 24
+  int64_t so = 12 + 40 * n + colvec;
+  int64_t sh = 8 + 600 * n + colvec;  // vec 4+576, map 17 pad to 20
+  int64_t ts = 12 + 24 * n + colvec;  // map only: 12+8+2 pad to 24
+  return pv + iso + so + sh + ts + 1024;  // + keys/root blocks + slack
+}
+
+// Encode Gaussian3d planar cloud -> flexbuffers; returns bytes written.
+// pv [n,4], sh [n,48], rot [n,4], so [n,4].  out must hold gcloud3d_size(n).
+int64_t gcloud3d_encode(const float* pv, const float* sh, const float* rot,
+                        const float* so, int64_t n, uint8_t* out) {
+  using namespace gcloudfb;
+  Writer w{out};
+  size_t k_coeff = put_key(w, "coefficients");
+  size_t k_opacity = put_key(w, "opacity");
+  size_t k_position = put_key(w, "position");
+  size_t k_pv = put_key(w, "position_visibility");
+  size_t k_rotation = put_key(w, "rotation");
+  size_t k_scale = put_key(w, "scale");
+  size_t k_so = put_key(w, "scale_opacity");
+  size_t k_sh = put_key(w, "spherical_harmonic");
+  size_t k_vis = put_key(w, "visibility");
+
+  std::vector<size_t> scratch;
+  // row-map keys sorted: {position < visibility}, {opacity < scale}
+  size_t col_pv = put_vec_scalar_column(w, k_position, k_vis, true, pv, n, 3, scratch);
+  size_t col_rot = put_vec_column(w, k_rotation, rot, n, 4, scratch);
+  size_t col_so = put_vec_scalar_column(w, k_scale, k_opacity, false, so, n, 3, scratch);
+  size_t col_sh = put_vec_column(w, k_coeff, sh, n, 48, scratch);
+
+  // root keys sorted alphabetically
+  size_t root_keys[4] = {k_pv, k_rotation, k_so, k_sh};
+  size_t cols[4] = {col_pv, col_rot, col_so, col_sh};
+  finish_root(w, root_keys, cols, 4);
+  return static_cast<int64_t>(w.pos);
+}
+
+// Encode Gaussian4d planar cloud.  pv [n,4], sh [n,144], iso [n,8], so [n,4],
+// ts [n,2].
+int64_t gcloud4d_encode(const float* pv, const float* sh, const float* iso,
+                        const float* so, const float* ts, int64_t n,
+                        uint8_t* out) {
+  using namespace gcloudfb;
+  Writer w{out};
+  size_t k_coeff = put_key(w, "coefficients");
+  size_t k_iso = put_key(w, "isotropic_rotations");
+  size_t k_opacity = put_key(w, "opacity");
+  size_t k_position = put_key(w, "position");
+  size_t k_pv = put_key(w, "position_visibility");
+  size_t k_rotation = put_key(w, "rotation");
+  size_t k_rot_r = put_key(w, "rotation_r");
+  size_t k_scale = put_key(w, "scale");
+  size_t k_so = put_key(w, "scale_opacity");
+  size_t k_sh = put_key(w, "spherindrical_harmonic");
+  size_t k_tt = put_key(w, "timestamp_timescale");
+  size_t k_timescale = put_key(w, "timescale");
+  size_t k_timestamp = put_key(w, "timestamp");
+  size_t k_vis = put_key(w, "visibility");
+
+  std::vector<size_t> scratch;
+  size_t col_pv = put_vec_scalar_column(w, k_position, k_vis, true, pv, n, 3, scratch);
+  // {rotation < rotation_r}
+  size_t col_iso = put_vec2_column(w, k_rotation, k_rot_r, iso, n, 4, 4, scratch);
+  size_t col_so = put_vec_scalar_column(w, k_scale, k_opacity, false, so, n, 3, scratch);
+  size_t col_sh = put_vec_column(w, k_coeff, sh, n, 144, scratch);
+  // {timestamp < timescale}? lexicographic: "timesc" < "timest", so
+  // timescale sorts FIRST; field order in rows is (timestamp, timescale) in
+  // the data, swap into sorted (timescale, timestamp) layout
+  std::vector<float> ts_sorted(size_t(n) * 2);
+  for (int64_t r = 0; r < n; ++r) {
+    ts_sorted[r * 2] = ts[r * 2 + 1];   // timescale
+    ts_sorted[r * 2 + 1] = ts[r * 2];   // timestamp
+  }
+  size_t col_ts = put_scalar2_column(w, k_timescale, k_timestamp,
+                                     ts_sorted.data(), n, scratch);
+
+  // root keys sorted alphabetically
+  size_t root_keys[5] = {k_iso, k_pv, k_so, k_sh, k_tt};
+  size_t cols[5] = {col_iso, col_pv, col_so, col_sh, col_ts};
+  finish_root(w, root_keys, cols, 5);
+  return static_cast<int64_t>(w.pos);
+}
+
+// Probe a gcloud buffer: returns row count, sets *is4d.
+int64_t gcloud_probe(const uint8_t* data, int64_t len, int32_t* is4d) {
+  using namespace gcloudfb;
+  if (len < 3) return -1;
+  Node root = root_node(data, len);
+  if (root.type != 9) return -1;
+  MapRef m = as_map(root);
+  Node sh4 = map_get(m, "spherindrical_harmonic");
+  *is4d = sh4.type >= 0 ? 1 : 0;
+  Node pv = map_get(m, "position_visibility");
+  if (pv.type < 0) return -1;
+  return as_vec(pv).len;
+}
+
+}  // extern "C"
+
+namespace gcloudfb {
+
+// decode a column of maps; `fill` extracts one row into out + r*row_stride
+template <typename F>
+bool decode_column(const MapRef& root, const char* name, int64_t n, F fill) {
+  Node col = map_get(root, name);
+  if (col.type < 0) return false;
+  VecRef v = as_vec(col);
+  if (v.len < n) return false;
+  for (int64_t r = 0; r < n; ++r) {
+    Node e = vec_get(v, r);
+    if (e.type != 9) return false;
+    MapRef m = as_map(e);
+    if (!fill(m, r)) return false;
+  }
+  return true;
+}
+
+inline bool read_scalar(const MapRef& m, const char* key, float* out) {
+  Node s = map_get(m, key);
+  if (s.type < 0) return false;
+  *out = static_cast<float>(rd_float(m.base + s.pos, s.bw));
+  return true;
+}
+
+}  // namespace gcloudfb
+
+extern "C" {
+
+// Decode 3D gcloud into caller-allocated arrays; returns n or negative error.
+int64_t gcloud3d_decode(const uint8_t* data, int64_t len, float* pv, float* sh,
+                        float* rot, float* so, int64_t n) {
+  using namespace gcloudfb;
+  Node root = root_node(data, len);
+  if (root.type != 9) return -1;
+  MapRef rm = as_map(root);
+  bool ok =
+      decode_column(rm, "position_visibility", n, [&](const MapRef& m, int64_t r) {
+        return read_f32s(map_get(m, "position"), pv + r * 4, 3) &&
+               read_scalar(m, "visibility", pv + r * 4 + 3);
+      }) &&
+      decode_column(rm, "spherical_harmonic", n, [&](const MapRef& m, int64_t r) {
+        return read_f32s(map_get(m, "coefficients"), sh + r * 48, 48);
+      }) &&
+      decode_column(rm, "rotation", n, [&](const MapRef& m, int64_t r) {
+        return read_f32s(map_get(m, "rotation"), rot + r * 4, 4);
+      }) &&
+      decode_column(rm, "scale_opacity", n, [&](const MapRef& m, int64_t r) {
+        return read_f32s(map_get(m, "scale"), so + r * 4, 3) &&
+               read_scalar(m, "opacity", so + r * 4 + 3);
+      });
+  return ok ? n : -2;
+}
+
+// Decode 4D gcloud; arrays: pv [n,4], sh [n,144], iso [n,8], so [n,4], ts [n,2].
+int64_t gcloud4d_decode(const uint8_t* data, int64_t len, float* pv, float* sh,
+                        float* iso, float* so, float* ts, int64_t n) {
+  using namespace gcloudfb;
+  Node root = root_node(data, len);
+  if (root.type != 9) return -1;
+  MapRef rm = as_map(root);
+  bool ok =
+      decode_column(rm, "position_visibility", n, [&](const MapRef& m, int64_t r) {
+        return read_f32s(map_get(m, "position"), pv + r * 4, 3) &&
+               read_scalar(m, "visibility", pv + r * 4 + 3);
+      }) &&
+      decode_column(rm, "spherindrical_harmonic", n, [&](const MapRef& m, int64_t r) {
+        return read_f32s(map_get(m, "coefficients"), sh + r * 144, 144);
+      }) &&
+      decode_column(rm, "isotropic_rotations", n, [&](const MapRef& m, int64_t r) {
+        return read_f32s(map_get(m, "rotation"), iso + r * 8, 4) &&
+               read_f32s(map_get(m, "rotation_r"), iso + r * 8 + 4, 4);
+      }) &&
+      decode_column(rm, "scale_opacity", n, [&](const MapRef& m, int64_t r) {
+        return read_f32s(map_get(m, "scale"), so + r * 4, 3) &&
+               read_scalar(m, "opacity", so + r * 4 + 3);
+      }) &&
+      decode_column(rm, "timestamp_timescale", n, [&](const MapRef& m, int64_t r) {
+        return read_scalar(m, "timestamp", ts + r * 2) &&
+               read_scalar(m, "timescale", ts + r * 2 + 1);
+      });
+  return ok ? n : -2;
+}
+
 // 8-bit LSD radix sort of u32 keys with u32 payload, ascending, stable.
 void radix_sort_pairs_u32(uint32_t* keys, uint32_t* vals, int64_t n) {
   std::vector<uint32_t> kbuf(n), vbuf(n);

@@ -22,11 +22,20 @@ Derivation (per pixel, splats i in front-to-back order within a tile):
     XLA AD of the forward's jnp.where / jnp.minimum).
 
 Kernel layout mirrors tile_fwd: params_t [PW, P] in HBM, per-tile grid with
-scalar-prefetched aligned starts/counts, [PIX, CHUNK] compute blocks, and the
+scalar-prefetched starts/counts, [PIX, CHUNK] compute blocks, and the
 per-parameter pixel reductions producing a [PW, CHUNK] gradient block that is
-DMA'd to the (pre-zeroed, input-output-aliased) dparams_t output — per-pair
-gradient slots are exclusive to their tile, so no atomics are needed; the
-pair->gaussian reduction happens outside via the gather transpose.
+DMA'd back to the dparams_t output.
+
+Unaligned tile starts are handled exactly like the forward kernel: the chunk
+DMA base is aligned down to the 128-lane tiling and the sub-128 prefix is
+masked out of the gradient math.  Because the aligned-down first chunk
+overlaps the previous tile's already-written tail, the first chunk is a
+read-merge-write: the existing dparams lanes below the prefix are DMA'd in and
+preserved.  This is safe because TPU grid iterations execute sequentially on
+the core (tile t's output DMA completes before tile t+1 runs) — do NOT mark
+the grid dimension "parallel".  The output is input-output-aliased with a
+zeros buffer so pair slots no tile covers (k_max-truncated tails, the
+sorted-invalid suffix) hold exact zero gradients.
 
 The chunk-local prefix needs an exclusive cumsum of c*w per channel (three
 more lane scans next to the forward's cumprod).

@@ -38,10 +38,29 @@ from bevy_gaussian_splatting_tpu.models.settings import CloudSettings, GaussianM
 
 TILE = 16
 PIX = TILE * TILE  # 256
-PW = 16  # padded param width
+PW = 16  # padded param width (3D/4D modes)
+PW_2D = 24  # 2DGS surfel layout: 18 live columns, padded to a sublane multiple
 CHUNK = 512  # splats per DMA/compute chunk
 ALPHA_CAP = 0.999
 TRANS_EPS = 1.0 / 255.0
+
+_BBOX_GREEN = (0.3, 1.0, 0.1)  # gaussian.wgsl bounding-box overlay color
+_EDGE_BAND = 1.0 - 2.0 * 0.08
+
+
+def param_width(mode: str) -> int:
+    return PW_2D if mode == "2d" else PW
+
+
+def rgb_row(mode: str) -> int:
+    """Row index of the first color column (alpha follows at +3)."""
+    return 14 if mode == "2d" else 6
+
+
+def kernel_mode(settings: CloudSettings) -> str:
+    if settings.gaussian_mode == GaussianMode.GAUSSIAN_2D:
+        return "2d"
+    return "aabb" if settings.aabb else "obb"
 
 
 def _tile_pixel_coords(t, tx_count: int, width: int, height: int):
@@ -58,13 +77,52 @@ def _tile_pixel_coords(t, tx_count: int, width: int, height: int):
     return px_vp, py_vp
 
 
-def _chunk_alpha(chunk, px_vp, py_vp, aabb: bool):
-    """Gaussian alpha for a [PW, CHUNK] param block against [PIX, 1] pixels
-    -> [PIX, CHUNK].  Mirrors _eval_chunk_gaussian (3D/4D paths)."""
+def _chunk_alpha(chunk, px_vp, py_vp, mode: str, width: int, height: int,
+                 with_edge: bool = False):
+    """Gaussian alpha for a param block against [PIX, 1] pixels -> [PIX, CHUNK].
+
+    Mirrors _eval_chunk_gaussian exactly (rasterize_tile.py); ``with_edge``
+    additionally returns the bounding-box edge-band mask used by
+    VISUALIZE_BOUNDING_BOX (gaussian.wgsl:486-495)."""
     cx = chunk[0:1, :]
     cy = chunk[1:2, :]
-    opacity = chunk[9:10, :]
-    if aabb:
+    opacity = chunk[rgb_row(mode) + 3 : rgb_row(mode) + 4, :]
+    edge = None
+    if mode == "2d":
+        # surfel homography intersection (gaussian_2d.wgsl:134-156); params:
+        # [cx_ndc, cy_ndc, m2x, m2y, mr, T00..T22 row-major, r, g, b, alpha]
+        px_ndc = px_vp * (1.0 / width)
+        py_ndc = py_vp * (1.0 / height)
+        m2x = chunk[2:3, :]
+        m2y = chunk[3:4, :]
+        mr = chunk[4:5, :]
+        dxn = px_ndc - cx
+        dyn = py_ndc - cy
+        inside = (jnp.abs(dxn) * width <= mr) & (jnp.abs(dyn) * height <= mr)
+        pcx = m2x + dxn * width
+        pcy = m2y + dyn * width  # doubled-frame quirk: *width on both axes
+        hu0 = pcx * chunk[7:8, :] - chunk[5:6, :]
+        hv0 = pcy * chunk[7:8, :] - chunk[6:7, :]
+        hu1 = pcx * chunk[10:11, :] - chunk[8:9, :]
+        hv1 = pcy * chunk[10:11, :] - chunk[9:10, :]
+        hu2 = pcx * chunk[13:14, :] - chunk[11:12, :]
+        hv2 = pcy * chunk[13:14, :] - chunk[12:13, :]
+        px_ = hu1 * hv2 - hu2 * hv1
+        py_ = hu2 * hv0 - hu0 * hv2
+        pz_ = hu0 * hv1 - hu1 * hv0
+        pz_ = jnp.where(jnp.abs(pz_) > 1e-12, pz_, 1e-12)
+        us = px_ / pz_
+        vs = py_ / pz_
+        s3d = us * us + vs * vs
+        d2 = (m2x - pcx) ** 2 + (m2y - pcy) ** 2
+        power = -0.5 * jnp.minimum(s3d, 2.0 * d2)
+        g = jnp.where(inside, jnp.exp(power), 0.0)
+        if with_edge:
+            uvm = jnp.maximum(jnp.abs(dxn) * width, jnp.abs(dyn) * height) / jnp.maximum(
+                mr, 1e-12
+            )
+            edge = inside & (uvm > _EDGE_BAND)
+    elif mode == "aabb":
         # conic quadratic form + quad clip (gaussian.wgsl:455-470)
         dx = cx - px_vp
         dy = cy - py_vp
@@ -73,8 +131,14 @@ def _chunk_alpha(chunk, px_vp, py_vp, aabb: bool):
             + chunk[3:4, :] * dx * dy
         )
         r = chunk[5:6, :]
-        inside = (jnp.abs(dx) <= r) & (jnp.abs(dy) <= r) & (power <= 0.0)
+        in_quad = (jnp.abs(dx) <= r) & (jnp.abs(dy) <= r)
+        inside = in_quad & (power <= 0.0)
         g = jnp.where(inside, jnp.exp(power), 0.0)
+        if with_edge:
+            edge = in_quad & (
+                jnp.maximum(jnp.abs(dx), jnp.abs(dy)) / jnp.maximum(r, 1e-12)
+                > _EDGE_BAND
+            )
     else:
         # eigen-rotated quad falloff (gaussian.wgsl:489-497)
         dx = px_vp - cx
@@ -87,7 +151,13 @@ def _chunk_alpha(chunk, px_vp, py_vp, aabb: bool):
         v = (dx * e1y - dy * e1x) / jnp.maximum(b2, 1e-12)
         inside = (jnp.abs(u) <= 1.0) & (jnp.abs(v) <= 1.0) & (b1 > 0.0)
         g = jnp.where(inside, jnp.exp(-4.5 * (u * u + v * v)), 0.0)
-    return jnp.minimum(g * opacity, ALPHA_CAP)
+        if with_edge:
+            edge = inside & (jnp.maximum(jnp.abs(u), jnp.abs(v)) > _EDGE_BAND)
+    alpha = jnp.minimum(g * opacity, ALPHA_CAP)
+    if with_edge:
+        edge = edge & (opacity > 0.0)
+        return alpha, edge
+    return alpha
 
 
 def _cumprod_lanes(x: jnp.ndarray) -> jnp.ndarray:
@@ -114,7 +184,8 @@ def _composite_kernel(
     tx_count: int,
     width: int,
     height: int,
-    aabb: bool,
+    mode: str,
+    bbox: bool = False,
     chunk_size: int = CHUNK,
     early_exit: bool = True,
 ):
@@ -152,9 +223,16 @@ def _composite_kernel(
         dma(c % 2, c).wait()
         chunk = chunk_vmem[c % 2]
 
-        alpha = _chunk_alpha(chunk, px_vp, py_vp, aabb)  # [PIX, chunk]
+        if bbox:
+            alpha, edge = _chunk_alpha(
+                chunk, px_vp, py_vp, mode, width, height, with_edge=True
+            )
+            alpha = jnp.where(edge, 1.0, alpha)  # opaque box borders
+        else:
+            alpha = _chunk_alpha(chunk, px_vp, py_vp, mode, width, height)
         lane_idx = c * chunk_size + lane
-        alpha = jnp.where((lane_idx >= prefix) & (lane_idx < total), alpha, 0.0)
+        in_rng = (lane_idx >= prefix) & (lane_idx < total)
+        alpha = jnp.where(in_rng, alpha, 0.0)
 
         one_minus = 1.0 - alpha
         cum = _cumprod_lanes(one_minus)  # [PIX, CHUNK]
@@ -162,9 +240,17 @@ def _composite_kernel(
         excl = jnp.where(lane == 0, 1.0, pltpu.roll(cum, 1, axis=1))
         w = alpha * excl * trans  # [PIX, CHUNK] (trans [PIX, 1])
 
-        r = jnp.sum(w * chunk[6:7, :], axis=1, keepdims=True)
-        g = jnp.sum(w * chunk[7:8, :], axis=1, keepdims=True)
-        b = jnp.sum(w * chunk[8:9, :], axis=1, keepdims=True)
+        ro = rgb_row(mode)
+        if bbox:
+            rgb_ch = [
+                jnp.where(edge, _BBOX_GREEN[i], chunk[ro + i : ro + i + 1, :])
+                for i in range(3)
+            ]
+        else:
+            rgb_ch = [chunk[ro + i : ro + i + 1, :] for i in range(3)]
+        r = jnp.sum(w * rgb_ch[0], axis=1, keepdims=True)
+        g = jnp.sum(w * rgb_ch[1], axis=1, keepdims=True)
+        b = jnp.sum(w * rgb_ch[2], axis=1, keepdims=True)
         accum = accum + jnp.concatenate([r, g, b], axis=1)  # [PIX, 3]
         trans = trans * cum[:, -1:]
         return c + 1, accum, trans
@@ -198,8 +284,8 @@ def pallas_forward_raw(
     early_exit: bool = True,
 ) -> jnp.ndarray:
     """Raw kernel output [T*8, PIX]: rows 0-2 rgb accum, row 3 transmittance."""
-    if settings.gaussian_mode == GaussianMode.GAUSSIAN_2D:
-        raise NotImplementedError("pallas compositor: 2DGS path lands separately")
+    mode = kernel_mode(settings)
+    pw = param_width(mode)
 
     tx_count = width // TILE
     ty_count = height // TILE
@@ -208,7 +294,7 @@ def pallas_forward_raw(
 
     # transposed + padded so any chunk DMA stays in bounds and lanes align
     p_pad = (p + chunk_size + 127) // 128 * 128
-    params_t = jnp.zeros((PW, p_pad), jnp.float32)
+    params_t = jnp.zeros((pw, p_pad), jnp.float32)
     params_t = params_t.at[:c, :p].set(params_sorted.T)
 
     kernel = functools.partial(
@@ -216,7 +302,8 @@ def pallas_forward_raw(
         tx_count=tx_count,
         width=width,
         height=height,
-        aabb=settings.aabb,
+        mode=mode,
+        bbox=settings.visualize_bounding_box,
         chunk_size=chunk_size,
         early_exit=early_exit,
     )
@@ -229,7 +316,7 @@ def pallas_forward_raw(
             (8, PIX), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, PW, chunk_size), jnp.float32),
+            pltpu.VMEM((2, pw, chunk_size), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )

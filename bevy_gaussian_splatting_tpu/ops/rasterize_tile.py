@@ -54,12 +54,69 @@ def supports(settings: CloudSettings) -> bool:
     return True
 
 
-def pairs_budget(n: int) -> int:
+def pairs_budget(n: int, hint: Optional[int] = None) -> int:
     """Static (gaussian, tile) pair capacity, bucketed to limit recompiles.
 
+    Without a hint: a conservative 6N (capped).  With a hint (an exact or
+    estimated pair count from :func:`pair_count`), the budget becomes the next
+    1-1.5-2-3 bucket above ``1.25 * hint`` — typical scenes average 1-3 tiles
+    per splat, so this cuts the expansion/sort/gather footprint several-fold.
     Overflow truncates the farthest pairs (expansion is depth-ordered), which
     degrades gracefully like the reference's draw-indirect count cap."""
-    return int(min(max(6 * n, 1 << 14), 3 << 21))
+    cap = int(min(max(6 * n, 1 << 14), 3 << 21))
+    if hint is None:
+        return cap
+    need = max(int(hint * 1.25) + 1, 1 << 14)
+    bucket = 1 << 14
+    while bucket < need:
+        bucket *= 2
+    # refine: try 1.5x of the half-bucket (adds one intermediate step)
+    if bucket // 2 * 3 // 2 >= need:
+        bucket = bucket // 2 * 3 // 2
+    return int(min(bucket, cap))
+
+
+def pair_count(
+    cloud,
+    camera: Camera,
+    settings: CloudSettings,
+    model_transform: Optional[jnp.ndarray] = None,
+    width: Optional[int] = None,
+    height: Optional[int] = None,
+    time=None,
+):
+    """Exact (gaussian, tile) pair count for this frame — N-sized ops only
+    (no expansion), so it is cheap to run as a budget-sizing prepass.
+
+    Mirrors the active/extents logic of :func:`bin_gaussians` exactly."""
+    if model_transform is None:
+        model_transform = jnp.eye(4, dtype=jnp.float32)
+    if width is None:
+        width = int(camera.viewport[2])
+    if height is None:
+        height = int(camera.viewport[3])
+    clip_from_world = camera.clip_from_view @ camera.view_from_world
+    splats = project_gaussians(cloud, camera, settings, model_transform, time=time)
+    back_key = sort_ops.radix_depth_key(
+        cloud.position, model_transform, clip_from_world, camera.world_position,
+        settings.radix_sort_depth_bits.bits,
+    )
+    splats["mask"] = splats["mask"] & (back_key != sort_ops.SENTINEL_KEY)
+
+    tx_count = width // TILE
+    ty_count = height // TILE
+    cx, cy, rx, ry = _pixel_extents(splats, settings, width, height)
+    active = splats["mask"] & (rx > 0.0) & (ry > 0.0)
+    tx0 = jnp.clip(jnp.floor((cx - rx) / TILE), 0, tx_count - 1)
+    tx1 = jnp.clip(jnp.floor((cx + rx) / TILE), 0, tx_count - 1)
+    ty0 = jnp.clip(jnp.floor((cy - ry) / TILE), 0, ty_count - 1)
+    ty1 = jnp.clip(jnp.floor((cy + ry) / TILE), 0, ty_count - 1)
+    on_screen = (
+        (cx + rx >= 0.0) & (cx - rx <= width) & (cy + ry >= 0.0) & (cy - ry <= height)
+    )
+    active = active & on_screen
+    counts = jnp.where(active, (tx1 - tx0 + 1) * (ty1 - ty0 + 1), 0.0)
+    return jnp.sum(counts).astype(jnp.int64 if jax.config.jax_enable_x64 else jnp.int32)
 
 
 def tile_budget(n: int) -> int:
@@ -505,6 +562,8 @@ def render_tiled(
     chunk: int = 64,
     differentiable: bool = True,
     compositor: str = "xla",
+    pairs_hint: Optional[int] = None,
+    pairs_max: Optional[int] = None,
 ) -> jnp.ndarray:
     if model_transform is None:
         model_transform = jnp.eye(4, dtype=jnp.float32)
@@ -546,17 +605,21 @@ def render_tiled(
     splats["sort_key"] = back_key
     splats["mask"] = splats["mask"] & (back_key != sort_ops.SENTINEL_KEY)
 
-    p_max = pairs_budget(n)
+    p_max = pairs_max if pairs_max is not None else pairs_budget(n, pairs_hint)
     k_max = tile_budget(n)
     g_s, tile_s, valid_s, _ = bin_gaussians(splats, settings, width, height, p_max)
     params = pack_raster_params(splats, settings, width, height)
     start, end = tile_ranges(tile_s, (width // TILE) * (height // TILE))
-    if compositor == "pallas" and (
-        settings.gaussian_mode == GaussianMode.GAUSSIAN_2D
-        or settings.visualize_bounding_box
+    if (
+        compositor == "pallas"
+        and differentiable
+        and (
+            settings.gaussian_mode == GaussianMode.GAUSSIAN_2D
+            or settings.visualize_bounding_box
+        )
     ):
-        # 2DGS surfels and bbox visualization aren't in the Pallas kernel yet;
-        # the XLA compositor is the correct fallback (identical math)
+        # the hand-derived backward kernel covers the 3D/4D modes; 2DGS and
+        # bbox-viz training fall back to XLA AD (identical math, slower)
         compositor = "xla"
     if compositor != "pallas":
         params_sorted = params[g_s]
@@ -641,17 +704,22 @@ def render_tiled(
 
 def make_tiled_pipeline(
     settings: CloudSettings, width: int, height: int, differentiable: bool = False,
-    compositor: str = "xla",
+    compositor: str = "xla", pairs_hint: Optional[int] = None,
+    pairs_max: Optional[int] = None,
 ):
     """Jitted forward pipeline. Default is the fast non-differentiable
     while_loop compositor (rendering/serving); pass differentiable=True for the
-    AD-capable scan (training paths use the custom-VJP kernel instead)."""
+    AD-capable scan (training paths use the custom-VJP kernel instead).
+
+    ``pairs_hint``: measured/estimated pair count (see :func:`pair_count`);
+    sizes the static pair budget to the scene instead of the worst case.
+    ``pairs_max``: exact static budget (overrides the hint bucketing)."""
 
     def fn(cloud, camera, model_transform, background, time):
         return render_tiled(
             cloud, camera, settings, model_transform, background, time,
             width=width, height=height, differentiable=differentiable,
-            compositor=compositor,
+            compositor=compositor, pairs_hint=pairs_hint, pairs_max=pairs_max,
         )
 
     return jax.jit(fn)

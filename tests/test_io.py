@@ -234,6 +234,30 @@ class TestNative:
         b = ply_codec.parse_ply_3d(data, use_native=False)
         assert_clouds_equal(a, b, atol=1e-5)
 
+    def test_native_gcloud_cross_impl(self):
+        """C++ and Python flexbuffers codecs must interoperate both ways."""
+        from bevy_gaussian_splatting_tpu import native
+
+        if not native.available():
+            import pytest
+
+            pytest.skip("no C++ toolchain")
+        c3 = bgs.random_gaussians_3d_seeded(120, seed=9)
+        c4 = bgs.random_gaussians_4d_seeded(90, seed=9)
+        for cloud, enc, dec in (
+            (c3, gcloud_codec.encode_gcloud_3d, gcloud_codec.decode_gcloud_3d),
+            (c4, gcloud_codec.encode_gcloud_4d, gcloud_codec.decode_gcloud_4d),
+        ):
+            data_native = enc(cloud, use_native=True)
+            data_python = enc(cloud, use_native=False)
+            assert data_native != data_python  # different valid encodings
+            # native encode -> python decode
+            assert_clouds_equal(cloud, dec(data_native, use_native=False))
+            # python encode -> native decode
+            assert_clouds_equal(cloud, dec(data_python, use_native=True))
+            # native round trip
+            assert_clouds_equal(cloud, dec(data_native, use_native=True))
+
     def test_native_radix_sort_stable_ascending(self, rng):
         from bevy_gaussian_splatting_tpu import native
 

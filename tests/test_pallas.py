@@ -46,6 +46,22 @@ class TestPallasForward:
         b = _np(render_tiled(c4, cam, s, compositor="pallas"))
         np.testing.assert_allclose(b, a, atol=2e-5)
 
+    def test_2dgs_surfel(self):
+        s = bgs.CloudSettings(gaussian_mode=bgs.GaussianMode.GAUSSIAN_2D)
+        self._parity(s)
+
+    def test_bbox_visualization(self):
+        self._parity(bgs.CloudSettings(visualize_bounding_box=True))
+
+    def test_bbox_visualization_aabb(self):
+        self._parity(bgs.CloudSettings(aabb=True, visualize_bounding_box=True))
+
+    def test_2dgs_bbox(self):
+        s = bgs.CloudSettings(
+            gaussian_mode=bgs.GaussianMode.GAUSSIAN_2D, visualize_bounding_box=True
+        )
+        self._parity(s)
+
     def test_heavy_occlusion_early_exit(self):
         # many opaque overlapping splats: exercises the transmittance early
         # exit; result must still match the oracle

@@ -145,3 +145,70 @@ class TestGradientParity:
             scale = np.abs(a).max() + 1e-12
             np.testing.assert_allclose(b, a, atol=2e-4 * scale, err_msg=f)
             assert np.abs(a).max() > 0, f
+
+
+class TestAdaptiveBudget:
+    """pair_count exactness + budget bucketing + parity at tight budgets."""
+
+    def test_pair_count_matches_expansion(self):
+        from bevy_gaussian_splatting_tpu.ops.rasterize_tile import (
+            pair_count,
+            pairs_budget,
+        )
+        from bevy_gaussian_splatting_tpu.ops import sort as sort_ops
+        from bevy_gaussian_splatting_tpu.ops.project import project_gaussians
+
+        settings = bgs.CloudSettings()
+        total_fast = int(pair_count(CLOUD, CAM, settings, width=128, height=128))
+
+        # ground truth via the actual expansion
+        mt = jnp.eye(4, dtype=jnp.float32)
+        clip_from_world = CAM.clip_from_view @ CAM.view_from_world
+        splats = project_gaussians(CLOUD, CAM, settings, mt)
+        back_key = sort_ops.radix_depth_key(
+            CLOUD.position, mt, clip_from_world, CAM.world_position,
+            settings.radix_sort_depth_bits.bits,
+        )
+        splats["sort_key"] = back_key
+        splats["mask"] = splats["mask"] & (back_key != sort_ops.SENTINEL_KEY)
+        p_max = pairs_budget(len(CLOUD))
+        _, _, _, total = bin_gaussians(splats, settings, 128, 128, p_max)
+        assert total_fast == int(total)
+
+    def test_budget_buckets(self):
+        from bevy_gaussian_splatting_tpu.ops.rasterize_tile import pairs_budget
+
+        # hint path: 1-1.5-2 bucket ladder with 1.25 margin, never above cap
+        assert pairs_budget(1_000_000, 1000) == 1 << 14
+        b = pairs_budget(1_000_000, 1_459_187)
+        assert b >= 1_459_187 * 1.25
+        assert b <= 4 * 1_459_187
+        assert pairs_budget(1_000_000, 10**9) == pairs_budget(1_000_000)
+        # budgets are monotone in the hint
+        prev = 0
+        for hint in [0, 10_000, 100_000, 300_000, 1_000_000, 3_000_000]:
+            cur = pairs_budget(1_000_000, hint)
+            assert cur >= prev
+            prev = cur
+
+    def test_parity_with_tight_budget(self):
+        from bevy_gaussian_splatting_tpu.ops.rasterize_tile import (
+            pair_count,
+            pairs_budget,
+        )
+
+        settings = bgs.CloudSettings()
+        total = int(pair_count(CLOUD, CAM, settings, width=128, height=128))
+        budget = pairs_budget(len(CLOUD), total)
+        a = _np(render_oracle(CLOUD, CAM, settings))
+        b = _np(render_tiled(CLOUD, CAM, settings, pairs_max=budget))
+        np.testing.assert_allclose(b, a, atol=2e-5)
+
+    def test_api_adaptive_render_matches(self):
+        from bevy_gaussian_splatting_tpu.render import api
+
+        settings = bgs.CloudSettings()
+        a = _np(render_oracle(CLOUD, CAM, settings))
+        for _ in range(3):  # exercise the budget-state path
+            b = _np(api.render(CLOUD, CAM, settings, impl="tiled"))
+        np.testing.assert_allclose(b, a, atol=2e-5)

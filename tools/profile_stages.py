@@ -1,0 +1,331 @@
+"""Stage-level TPU profiler for the tiled pipeline.
+
+Decomposes the forward (and optionally backward) hot path into timed stages so
+optimization effort follows measured cost, not guesses.  Timing uses the
+relay-safe discipline from bench.py: enqueue ITERS executions back-to-back,
+stop the clock after a small readback, take the min over windows.
+
+Run:  python tools/profile_stages.py            (full decomposition)
+      PROF_ONLY=gathers python tools/profile_stages.py   (gather micro-bench)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bevy_gaussian_splatting_tpu as bgs
+from bevy_gaussian_splatting_tpu.models.settings import CloudSettings
+from bevy_gaussian_splatting_tpu.ops import sort as sort_ops
+from bevy_gaussian_splatting_tpu.ops import rasterize_tile as rt
+from bevy_gaussian_splatting_tpu.ops.project import project_gaussians
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def _tiny_readback(out):
+    """Device-side slice -> 1-element host transfer (relay-safe: never pull a
+    whole array through the tunnel)."""
+    import jax.numpy as jnp
+
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return np.asarray(jnp.ravel(leaf)[:1])
+
+
+def timeit(name, fn, *args, iters=8, windows=3):
+    """fn must return a jax array (or pytree); times iters chained calls."""
+    out = fn(*args)
+    _ = _tiny_readback(out)
+    best = float("inf")
+    for _w in range(windows):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        _ = _tiny_readback(out)
+        t1 = time.perf_counter()
+        best = min(best, (t1 - t0) / iters)
+    log(f"{name:<44} {best * 1e3:9.2f} ms")
+    return best
+
+
+def make_scene(n, width, height):
+    cloud = bgs.random_gaussians_3d_seeded(n, seed=0)
+    cloud = dataclasses.replace(
+        cloud,
+        position_visibility=cloud.position_visibility
+        * jnp.array([1.0, 1.0, 0.25, 1.0]),
+        scale_opacity=cloud.scale_opacity * jnp.array([0.05, 0.05, 0.05, 1.0]),
+    )
+    camera = bgs.Camera.create(
+        eye=(0.0, 0.0, 60.0), target=(0.0, 0.0, 0.0), width=width, height=height
+    )
+    return cloud, camera
+
+
+def main():
+    n = int(os.environ.get("PROF_N", 1_000_000))
+    width = height = int(os.environ.get("PROF_SIZE", 512))
+    only = os.environ.get("PROF_ONLY", "")
+    settings = CloudSettings()
+    cloud, camera = make_scene(n, width, height)
+    mt = jnp.eye(4, dtype=jnp.float32)
+    bg = jnp.zeros((4,), jnp.float32)
+    log(f"devices={jax.devices()} N={n} {width}x{height}")
+
+    p_max = rt.pairs_budget(n)
+
+    # ---- shared prefix: project + keys (returns splats dict) ----------------
+    @jax.jit
+    def prefix(cloud, t):
+        clip_from_world = camera.clip_from_view @ camera.view_from_world
+        keys, order = sort_ops.sort_gaussians_radix(
+            cloud.position, mt, clip_from_world, camera.world_position,
+            settings.radix_sort_depth_bits.bits,
+        )
+        from bevy_gaussian_splatting_tpu.ops.transforms import apply_transform
+
+        wp = apply_transform(mt, cloud.position)
+        first_idx = order[min(1, n - 1)]
+        last_idx = order[n - 1]
+        max_d = jnp.linalg.norm(wp[first_idx] - camera.world_position)
+        min_d = jnp.linalg.norm(wp[last_idx] - camera.world_position)
+        splats = project_gaussians(
+            cloud, camera, settings, mt, depth_minmax=(min_d, max_d), time=t
+        )
+        back_key = sort_ops.radix_depth_key(
+            cloud.position, mt, clip_from_world, camera.world_position,
+            settings.radix_sort_depth_bits.bits,
+        )
+        splats["sort_key"] = back_key
+        splats["mask"] = splats["mask"] & (back_key != sort_ops.SENTINEL_KEY)
+        return splats
+
+    splats = jax.block_until_ready(prefix(cloud, jnp.float32(0.0)))
+
+    if only in ("", "stages"):
+        timeit("prefix: sort+project+keys", prefix, cloud, jnp.float32(1e-7))
+
+        @jax.jit
+        def binning(splats):
+            return rt.bin_gaussians(splats, settings, width, height, p_max)
+
+        g_s, tile_s, valid_s, total = jax.block_until_ready(binning(splats))
+        log(f"  actual pair total = {int(total)} / budget {p_max}")
+        timeit("binning (expand+sort)", binning, splats)
+
+        # binning sub-stages
+        @jax.jit
+        def bin_nosort(splats):
+            # copy of bin_gaussians up to (tile, g, valid) before lax.sort
+            tx_count = width // rt.TILE
+            ty_count = height // rt.TILE
+            cx, cy, rx, ry = rt._pixel_extents(splats, settings, width, height)
+            active = splats["mask"] & (rx > 0.0) & (ry > 0.0)
+            tx0 = jnp.clip(jnp.floor((cx - rx) / rt.TILE), 0, tx_count - 1).astype(jnp.int32)
+            tx1 = jnp.clip(jnp.floor((cx + rx) / rt.TILE), 0, tx_count - 1).astype(jnp.int32)
+            ty0 = jnp.clip(jnp.floor((cy - ry) / rt.TILE), 0, ty_count - 1).astype(jnp.int32)
+            ty1 = jnp.clip(jnp.floor((cy + ry) / rt.TILE), 0, ty_count - 1).astype(jnp.int32)
+            on_screen = (
+                (cx + rx >= 0.0) & (cx - rx <= width) & (cy + ry >= 0.0) & (cy - ry <= height)
+            )
+            active = active & on_screen
+            front_key = jnp.uint32(0xFFFFFFFF) - splats["sort_key"]
+            rev_idx = jnp.uint32(n - 1) - jnp.arange(n, dtype=jnp.uint32)
+            _, _, perm = jax.lax.sort(
+                (front_key, rev_idx, jnp.arange(n, dtype=jnp.int32)), num_keys=2
+            )
+            tx0p = tx0[perm]
+            ty0p = ty0[perm]
+            rect_wp = (tx1 - tx0 + 1)[perm]
+            rect_hp = (ty1 - ty0 + 1)[perm]
+            counts = jnp.where(active[perm], rect_wp * rect_hp, 0)
+            cum = jnp.cumsum(counts)
+            total = cum[-1]
+            offsets = cum - counts
+            starts = jnp.where(counts > 0, offsets, p_max)
+            gidx = rt.slot_owner_scan(starts, jnp.arange(n, dtype=jnp.int32), p_max)
+            slots = jnp.arange(p_max, dtype=jnp.int32)
+            valid = slots < total
+            packed = jnp.stack([offsets, rect_wp, tx0p, ty0p, perm], axis=1)
+            pg = packed[gidx]
+            k = slots - pg[:, 0]
+            tile_x = pg[:, 2] + k % pg[:, 1]
+            tile_y = pg[:, 3] + k // pg[:, 1]
+            tile = tile_y * tx_count + tile_x
+            tile = jnp.where(valid, tile, tx_count * ty_count)
+            return tile, pg[:, 4], valid
+
+        tile_u, g_u, valid_u = jax.block_until_ready(bin_nosort(splats))
+        timeit("  expand only (no pair sort)", bin_nosort, splats)
+
+        @jax.jit
+        def pair_sort(tile, g, valid):
+            return jax.lax.sort((tile, g, valid), num_keys=1, is_stable=True)
+
+        timeit("  pair sort alone", pair_sort, tile_u, g_u, valid_u)
+
+        @jax.jit
+        def packparams(splats):
+            return rt.pack_raster_params(splats, settings, width, height)
+
+        params = jax.block_until_ready(packparams(splats))
+        timeit("pack_raster_params", packparams, splats)
+
+        num_tiles = (width // rt.TILE) * (height // rt.TILE)
+
+        @jax.jit
+        def ranges(tile_s):
+            return rt.tile_ranges(tile_s, num_tiles)
+
+        start, end = jax.block_until_ready(ranges(tile_s))
+        timeit("tile_ranges searchsorted", ranges, tile_s)
+
+        # align machinery (from render_tiled pallas branch)
+        @jax.jit
+        def align(g_s, start, end, params):
+            count = jnp.minimum(end - start, rt.tile_budget(n))
+            aligned_count = (count + 127) // 128 * 128
+            aligned_start = jnp.concatenate(
+                [jnp.zeros((1,), jnp.int32), jnp.cumsum(aligned_count)[:-1].astype(jnp.int32)]
+            )
+            p_aligned = p_max + 128 * num_tiles
+            slots = jnp.arange(p_aligned, dtype=jnp.int32)
+            t_starts = jnp.where(aligned_count > 0, aligned_start, p_aligned)
+            t_of_slot = rt.slot_owner_scan(
+                t_starts, jnp.arange(num_tiles, dtype=jnp.int32), p_aligned
+            )
+            tpack = jnp.stack([aligned_start, count, start], axis=1)[t_of_slot]
+            j = slots - tpack[:, 0]
+            slot_valid = (j >= 0) & (j < tpack[:, 1])
+            src = jnp.clip(tpack[:, 2] + j, 0, g_s.shape[0] - 1)
+            g_aligned = jnp.where(slot_valid, g_s[src], 0)
+            params_aligned = jnp.where(slot_valid[:, None], params[g_aligned], 0.0)
+            return params_aligned, aligned_start, count
+
+        params_aligned, astart, acount = jax.block_until_ready(
+            align(g_s, start, end, params)
+        )
+        timeit("align machinery + params gather", align, g_s, start, end, params)
+
+        @jax.jit
+        def just_gather(params, g_s):
+            return params[g_s]
+
+        timeit("  params[g_s] row gather [P,C] f32", just_gather, params, g_s)
+
+        # Pallas kernel alone (aligned path, fwd)
+        from bevy_gaussian_splatting_tpu.ops.pallas.tile_fwd import (
+            pallas_forward_raw,
+        )
+
+        interp = jax.default_backend() != "tpu"
+
+        @jax.jit
+        def kernel_only(params_aligned, astart, acount):
+            return pallas_forward_raw(
+                params_aligned, astart, acount, settings, width, height,
+                interpret=interp,
+            )
+
+        jax.block_until_ready(kernel_only(params_aligned, astart, acount))
+        timeit("pallas fwd kernel alone", kernel_only, params_aligned, astart, acount)
+
+        @jax.jit
+        def kernel_noee(params_aligned, astart, acount):
+            return pallas_forward_raw(
+                params_aligned, astart, acount, settings, width, height,
+                early_exit=False, interpret=interp,
+            )
+
+        timeit("pallas fwd kernel (no early exit)", kernel_noee,
+               params_aligned, astart, acount)
+
+        # full fwd for reference
+        pipe = rt.make_tiled_pipeline(settings, width, height, compositor="pallas")
+        timeit("FULL fwd (pallas)", pipe, cloud, camera, mt, bg, jnp.float32(1e-7))
+
+    if only in ("", "gathers"):
+        log("--- gather micro-bench ---")
+        rng = np.random.default_rng(0)
+        idx = jnp.asarray(rng.integers(0, n, size=p_max), dtype=jnp.int32)
+        tbl16 = jnp.asarray(rng.standard_normal((n, 16)), dtype=jnp.float32)
+        tbl8i = jnp.asarray(rng.integers(0, 2**31, size=(n, 8)), dtype=jnp.int32)
+        tblT = tbl16.T  # [16, n]
+
+        def rate(name, t, bytes_):
+            log(f"    -> {bytes_ / t / 1e9:7.2f} GB/s gathered ({name})")
+
+        t = timeit("gather rows [N,16]f32 -> [P,16]", jax.jit(lambda a, i: a[i]), tbl16, idx)
+        rate("rows16", t, p_max * 64)
+        t = timeit("gather rows [N,8]i32 -> [P,8]", jax.jit(lambda a, i: a[i]), tbl8i, idx)
+        rate("rows8", t, p_max * 32)
+        t = timeit("gather 1D [N] -> [P] x1", jax.jit(lambda a, i: a[:, 0][i]), tbl16, idx)
+        rate("1d", t, p_max * 4)
+
+        @jax.jit
+        def cols16(aT, i):
+            return jnp.stack([aT[c][i] for c in range(16)], axis=0)
+
+        t = timeit("gather 16x 1D cols -> [16,P]", cols16, tblT, idx)
+        rate("cols16", t, p_max * 64)
+
+        @jax.jit
+        def take_fill(a, i):
+            return jnp.take(a, i, axis=0, mode="fill", fill_value=0.0)
+
+        t = timeit("jnp.take mode=fill rows [N,16]", take_fill, tbl16, idx)
+        rate("take", t, p_max * 64)
+
+        # sorted indices (locality)
+        idx_sorted = jnp.sort(idx)
+        t = timeit("gather rows16, SORTED idx", jax.jit(lambda a, i: a[i]), tbl16, idx_sorted)
+        rate("rows16-sorted", t, p_max * 64)
+
+        log("--- scatter micro-bench (bwd reduction candidates) ---")
+        upd16 = jnp.asarray(rng.standard_normal((p_max, 16)), dtype=jnp.float32)
+
+        @jax.jit
+        def scat_add(upd, i):
+            return jnp.zeros((n, 16), jnp.float32).at[i].add(upd)
+
+        t = timeit("scatter-add [P,16] -> [N,16]", scat_add, upd16, idx)
+        rate("scatter-add", t, p_max * 64)
+
+        @jax.jit
+        def segsum_contig(upd):
+            # contiguous segment-sum via blocked cumsum + boundary gather
+            P = upd.shape[0]
+            block = 512
+            nb = P // block
+            b = upd[: nb * block].reshape(nb, block, 16)
+            within = jnp.cumsum(b, axis=1)
+            carry = jnp.cumsum(within[:, -1, :], axis=0)
+            carry = jnp.concatenate([jnp.zeros((1, 16)), carry[:-1]], axis=0)
+            cum = (within + carry[:, None, :]).reshape(nb * block, 16)
+            # fake contiguous offsets: n segments of P//n
+            seg = P // n
+            ends = (jnp.arange(n, dtype=jnp.int32) + 1) * seg - 1
+            starts = ends - seg
+            s0 = jnp.where(starts >= 0, cum[jnp.maximum(starts, 0)], 0.0)
+            return cum[ends] - s0
+
+        t = timeit("contig segsum (cumsum+2 gathers)", segsum_contig, upd16)
+        rate("segsum", t, p_max * 64)
+
+    log("done")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
