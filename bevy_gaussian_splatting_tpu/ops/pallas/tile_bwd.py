@@ -123,10 +123,13 @@ def _backward_kernel(
     count_ref,  # scalar prefetch [T]
     params_hbm,  # [PW, P_pad] ANY
     gbar_ref,  # [8, PIX] VMEM: rows 0-2 ghat_rgb, 3 ghat_T, 4-6 total_rgb, 7 T_fin
-    dparams_hbm,  # [PW, P_pad] ANY output
+    zeros_hbm,  # [PW, P_pad] ANY — donated into dparams_hbm (unread)
+    dparams_hbm,  # [PW, P_pad] ANY output (zeros-aliased)
     chunk_vmem,  # [2, PW, CHUNK]
     dchunk_vmem,  # [PW, CHUNK] gradient staging
+    merge_vmem,  # [PW, CHUNK] existing-dparams staging (first-chunk merge)
     sem,  # DMA sems [2]
+    merge_sem,  # merge DMA sem
     out_sem,  # output DMA sem
     *,
     tx_count: int,
@@ -135,8 +138,13 @@ def _backward_kernel(
     aabb: bool,
 ):
     t = pl.program_id(0)
-    start = pl.multiple_of(start_ref[t], 128)
+    start_raw = start_ref[t]
+    # align the DMA base down to the lane tiling; the sub-128 prefix lanes
+    # belong to the PREVIOUS tile and are masked out / merge-preserved
+    base = pl.multiple_of((start_raw // 128) * 128, 128)
+    prefix = start_raw - base
     count = count_ref[t]
+    total = count + prefix
     px_vp, py_vp = _tile_pixel_coords(t, tx_count, width, height)
 
     ghat_rgb = [gbar_ref[i : i + 1, :].T for i in range(3)]  # [PIX, 1] each
@@ -144,12 +152,12 @@ def _backward_kernel(
     total_rgb = [gbar_ref[4 + i : 5 + i, :].T for i in range(3)]
     t_fin = gbar_ref[7:8, :].T
 
-    n_chunks = pl.cdiv(count, CHUNK)
+    n_chunks = jnp.where(count > 0, pl.cdiv(total, CHUNK), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
 
     def dma_in(slot, chunk_idx):
         return pltpu.make_async_copy(
-            params_hbm.at[:, pl.ds(start + chunk_idx * CHUNK, CHUNK)],
+            params_hbm.at[:, pl.ds(base + chunk_idx * CHUNK, CHUNK)],
             chunk_vmem.at[slot],
             sem.at[slot],
         )
@@ -157,6 +165,11 @@ def _backward_kernel(
     @pl.when(n_chunks > 0)
     def _():
         dma_in(0, 0).start()
+        # previous tile's tail shares the first 128-lane block: fetch what is
+        # already there so the prefix lanes can be written back unchanged
+        pltpu.make_async_copy(
+            dparams_hbm.at[:, pl.ds(base, CHUNK)], merge_vmem, merge_sem
+        ).start()
 
     def body(state):
         c, trans, prefix0, prefix1, prefix2 = state
@@ -169,8 +182,9 @@ def _backward_kernel(
         chunk = chunk_vmem[c % 2]
 
         alpha, aux = _alpha_and_partials(chunk, px_vp, py_vp, aabb)
-        remaining = count - c * CHUNK
-        alpha = jnp.where(lane < remaining, alpha, 0.0)
+        lane_idx = c * CHUNK + lane
+        in_rng = (lane_idx >= prefix) & (lane_idx < total)
+        alpha = jnp.where(in_rng, alpha, 0.0)
 
         one_minus = 1.0 - alpha
         cum = _cumprod_lanes(one_minus)
@@ -198,7 +212,7 @@ def _backward_kernel(
         dalpha = dalpha - ghat_T * t_fin * inv_om
         # cap + row masking zero the gradient exactly like the forward's min()
         dalpha = jnp.where(aux["capped"], 0.0, dalpha)
-        dalpha = jnp.where(lane < remaining, dalpha, 0.0)
+        dalpha = jnp.where(in_rng, dalpha, 0.0)
 
         g = aux["g"]
         opacity = chunk[9:10, :]
@@ -244,10 +258,20 @@ def _backward_kernel(
             dc[0], dc[1], dc[2], dop,
             zeros, zeros, zeros, zeros, zeros, zeros,
         ]
-        dchunk_vmem[...] = jnp.concatenate(rows, axis=0)  # [PW, CHUNK]
+        dgrad = jnp.concatenate(rows, axis=0)  # [PW, CHUNK]
+        # in_rng already zeroed out-of-range gradient lanes; additionally the
+        # first chunk must PRESERVE the previous tile's prefix lanes
+        @pl.when(c == 0)
+        def _():
+            pltpu.make_async_copy(
+                dparams_hbm.at[:, pl.ds(base, CHUNK)], merge_vmem, merge_sem
+            ).wait()
+
+        merged = jnp.where((c == 0) & (lane < prefix), merge_vmem[...], dgrad)
+        dchunk_vmem[...] = merged
         out_dma = pltpu.make_async_copy(
             dchunk_vmem,
-            dparams_hbm.at[:, pl.ds(start + c * CHUNK, CHUNK)],
+            dparams_hbm.at[:, pl.ds(base + c * CHUNK, CHUNK)],
             out_sem,
         )
         out_dma.start()
@@ -271,8 +295,8 @@ def _backward_kernel(
 
 
 def pallas_composite_backward(
-    params_aligned: jnp.ndarray,  # [P, C]
-    aligned_start: jnp.ndarray,  # [T]
+    params_sorted: jnp.ndarray,  # [P, C] pair-sorted (no alignment required)
+    tile_start: jnp.ndarray,  # [T]
     count: jnp.ndarray,  # [T]
     gbar: jnp.ndarray,  # [T, 8, PIX] packed cotangents + residuals
     settings: CloudSettings,
@@ -280,15 +304,18 @@ def pallas_composite_backward(
     height: int,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Run the backward kernel -> dparams [P, C]."""
+    """Run the backward kernel -> dparams [P, C] in the same sorted layout.
+
+    Pair slots no tile covers (k_max-truncated tails, sorted-invalid suffix)
+    come back as exact zeros via the donated zero-initialized output."""
     tx_count = width // TILE
     ty_count = height // TILE
     num_tiles = tx_count * ty_count
-    p, c = params_aligned.shape
+    p, c = params_sorted.shape
 
     p_pad = (p + CHUNK + 127) // 128 * 128
     params_t = jnp.zeros((PW, p_pad), jnp.float32)
-    params_t = params_t.at[:c, :p].set(params_aligned.T)
+    params_t = params_t.at[:c, :p].set(params_sorted.T)
 
     kernel = functools.partial(
         _backward_kernel,
@@ -304,12 +331,15 @@ def pallas_composite_backward(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec((8, PIX), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # donated zeros
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, PW, CHUNK), jnp.float32),
             pltpu.VMEM((PW, CHUNK), jnp.float32),
+            pltpu.VMEM((PW, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
     )
@@ -319,12 +349,16 @@ def pallas_composite_backward(
         out_shape=jax.ShapeDtypeStruct((PW, p_pad), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
+        # flattened inputs: [start, count, params_t, gbar, zeros] -> the zeros
+        # buffer (index 4) is donated as output 0
+        input_output_aliases={4: 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(
-        aligned_start.astype(jnp.int32),
+        tile_start.astype(jnp.int32),
         count.astype(jnp.int32),
         params_t,
         gbar.reshape(num_tiles * 8, PIX),
+        jnp.zeros((PW, p_pad), jnp.float32),
     )
 
     return dparams_t[:c, :p].T

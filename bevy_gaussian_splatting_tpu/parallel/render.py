@@ -94,11 +94,6 @@ def _local_band_render(
 ):
     """The shard_map body: local projection -> all-gather splats -> composite
     this device's band of tile rows -> [height/n_bands, width, 4]."""
-    if settings.gaussian_mode.value == "gaussian_2d":
-        raise NotImplementedError(
-            "sharded rendering currently supports 3D/4D modes (2DGS band remap "
-            "needs an anisotropic ndc rescale; single-chip 2DGS is supported)"
-        )
     band = jax.lax.axis_index(TILES_AXIS)
     clip_from_world = camera.clip_from_view @ camera.view_from_world
 
@@ -128,8 +123,10 @@ def _local_band_render(
         "sort_key": gathered["sort_key"],
         "depth2": gathered["depth2"],
     }
-    # bbox extents come from packed params (mode-independent slots 0..5)
-    if settings.aabb:
+    # bbox extents come from packed params (mode-dependent slot layout)
+    if settings.gaussian_mode.value == "gaussian_2d":
+        g_splats["surfel_radius"] = gathered["params"][:, 4]
+    elif settings.aabb:
         g_splats["conic"] = gathered["params"][:, 2:5]
         g_splats["radius_vp"] = gathered["params"][:, 5]
     else:
@@ -139,26 +136,20 @@ def _local_band_render(
     band_h = height // n_bands
     n_total = g_splats["mask"].shape[0]
 
-    # Remap splat centers into this band's local NDC frame so the band renders
-    # as a standalone width x band_h image with IDENTICAL vp-unit distances:
-    # pixel py in [y0, y0+band_h) -> band py' = py - y0;
-    # ndc_band = (ndc_full - 1) * (H / band_h) + 1 + 2 * y0 / band_h, which
-    # makes (cy_band - py_band) * band_h == (cy_full - py_full) * H exactly.
+    # Binning runs in the FULL image frame windowed to this band's tile rows,
+    # so the band's pair set is bit-identical to the corresponding slice of a
+    # single-chip binning (a band-local ndc remap would shift tile-boundary
+    # decisions by an ulp).
     y0_px = band.astype(jnp.float32) * band_h
-    scale_y = height / band_h
-    cy_band = (g_splats["center_ndc"][:, 1] - 1.0) * scale_y + 1.0 + 2.0 * y0_px / band_h
-    g_splats = dict(g_splats)
-    g_splats["center_ndc"] = jnp.stack(
-        [g_splats["center_ndc"][:, 0], cy_band], axis=-1
-    )
-
     p_max = pairs_budget(n_total)
     k_max = tile_budget(n_total)
-    g_s, tile_s, valid_s, _ = bin_gaussians(g_splats, settings, width, band_h, p_max)
+    band_rows = band_h // TILE
+    g_s, tile_s, valid_s, _ = bin_gaussians(
+        g_splats, settings, width, height, p_max,
+        tile_row0=band * band_rows, band_tile_rows=band_rows,
+    )
 
-    # the packed params carry vp-unit centers for the FULL image; rebuild the
-    # y center for the band-local frame (col 1 = cy_vp for 3D/4D packing)
-    params_band = gathered["params"].at[:, 1].set(cy_band * band_h)
+    params_full = gathered["params"]  # full-image-frame params, untouched
 
     num_band_tiles = (width // TILE) * (band_h // TILE)
     start, end = tile_ranges(tile_s, num_band_tiles)
@@ -166,41 +157,36 @@ def _local_band_render(
     if compositor == "pallas" and settings.gaussian_mode.value != "gaussian_2d":
         import jax as _jax
 
-        from bevy_gaussian_splatting_tpu.ops.rasterize_tile import slot_owner_scan
         from bevy_gaussian_splatting_tpu.ops.pallas.core import get_composite_core
         from bevy_gaussian_splatting_tpu.ops.pallas.tile_fwd import (
             composite_epilogue,
         )
 
+        # both kernels accept unaligned tile starts (DMA base align-down +
+        # prefix mask/merge), so the pair-sorted buffer is used directly.
+        # The Pallas kernel derives pixel coords from band-local tile ids, so
+        # it needs the y center rebuilt in the band frame (col 1 = cy_vp):
+        # cy_band chosen so (cy_band - py_band) * band_h == full-frame vp dist
+        scale_y = height / band_h
+        cy_band = (
+            (g_splats["center_ndc"][:, 1] - 1.0) * scale_y + 1.0 + 2.0 * y0_px / band_h
+        )
+        params_band = params_full.at[:, 1].set(cy_band * band_h)
         count = jnp.minimum(end - start, k_max)
-        aligned_count = (count + 127) // 128 * 128
-        aligned_start = jnp.concatenate(
-            [jnp.zeros((1,), jnp.int32),
-             jnp.cumsum(aligned_count)[:-1].astype(jnp.int32)]
-        )
-        p_aligned = p_max + 128 * num_band_tiles
-        slots = jnp.arange(p_aligned, dtype=jnp.int32)
-        t_starts = jnp.where(aligned_count > 0, aligned_start, p_aligned)
-        t_of = slot_owner_scan(
-            t_starts, jnp.arange(num_band_tiles, dtype=jnp.int32), p_aligned
-        )
-        tpack = jnp.stack([aligned_start, count, start], axis=1)[t_of]
-        jj = slots - tpack[:, 0]
-        slot_valid = (jj >= 0) & (jj < tpack[:, 1])
-        src = jnp.clip(tpack[:, 2] + jj, 0, g_s.shape[0] - 1)
-        g_aligned = jnp.where(slot_valid, g_s[src], 0)
-        params_aligned = jnp.where(
-            slot_valid[:, None], params_band[g_aligned], 0.0
-        )
+        params_sorted = jnp.where(valid_s[:, None], params_band[g_s], 0.0)
         interpret = _jax.default_backend() != "tpu"
         core = get_composite_core(settings, width, band_h, interpret)
-        out_raw = core(params_aligned, aligned_start, count)
+        out_raw = core(params_sorted, start, count)
         return composite_epilogue(out_raw, background, width, band_h)
 
-    params_sorted = params_band[g_s]
+    # XLA compositor: full-image-frame pixel coordinates via pixel_y0, so the
+    # band's fragment math is bit-identical to the single-chip render (the
+    # 2DGS doubled-frame quirk makes a band-local remap inexact in f32)
+    params_sorted = params_full[g_s]
     img_band = composite_tiles(
         params_sorted, valid_s, start, end, settings, width, band_h,
         k_max=k_max, background=background, differentiable=True,
+        pixel_y0=y0_px, full_height=height,
     )
     return img_band
 

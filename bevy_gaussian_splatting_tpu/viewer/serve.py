@@ -1,0 +1,313 @@
+"""Interactive browser viewer — the framework's windowed-viewer equivalent.
+
+The reference ships a winit/bevy viewer binary with a pan-orbit camera,
+screenshot hotkey, and GLB export (src/bin/viewer.rs + pan-orbit plugin).  A
+TPU host has no display, so this serves the same interactions over HTTP: a
+single-page app with mouse orbit/zoom, a 4D time slider, a screenshot button,
+and a GLB export button, rendered server-side through ``render.api`` (compiled
+pipeline cache — the first frame compiles, subsequent orbit frames are jitted
+replays).
+
+    python -m bevy_gaussian_splatting_tpu.viewer.serve --test-model --port 8720
+    python -m bevy_gaussian_splatting_tpu.viewer.serve --input-cloud s.gcloud
+
+Then open http://localhost:8720/.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import math
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+_PAGE = """<!DOCTYPE html>
+<html><head><title>bevy_gaussian_splatting_tpu viewer</title><style>
+ body { margin:0; background:#111; color:#ddd; font:13px monospace; }
+ #hud { position:fixed; top:8px; left:8px; background:#0008; padding:6px 10px;
+        border-radius:4px; user-select:none; }
+ #view { display:block; margin:auto; cursor:grab; image-rendering:pixelated; }
+ button { font:inherit; margin-right:6px; }
+</style></head><body>
+<div id="hud">
+  <div id="stats">loading…</div>
+  <div style="margin-top:4px">
+    <button id="shot">screenshot</button>
+    <button id="glb">export .glb</button>
+    <span id="tctl" style="display:none">t <input id="time" type="range"
+      min="0" max="1" step="0.01" value="0" style="width:120px"></span>
+  </div>
+  <div style="margin-top:4px;opacity:.6">drag: orbit &nbsp; wheel: dolly</div>
+</div>
+<img id="view" width="%W%" height="%H%">
+<script>
+let az = %AZ%, el = %EL%, r = %R%, t = 0, busy = false, dirty = true;
+const img = document.getElementById('view');
+function url() {
+  return `/frame?az=${az.toFixed(4)}&el=${el.toFixed(4)}&r=${r.toFixed(4)}&t=${t}`;
+}
+async function refresh() {
+  if (busy) { dirty = true; return; }
+  busy = true; dirty = false;
+  const t0 = performance.now();
+  const resp = await fetch(url());
+  const blob = await resp.blob();
+  img.src = URL.createObjectURL(blob);
+  const ms = (performance.now() - t0).toFixed(0);
+  document.getElementById('stats').textContent =
+    `%N% gaussians  ${ms} ms/frame  az ${az.toFixed(2)} el ${el.toFixed(2)} r ${r.toFixed(1)}`;
+  busy = false;
+  if (dirty) refresh();
+}
+let drag = null;
+img.addEventListener('mousedown', e => { drag = [e.clientX, e.clientY]; });
+window.addEventListener('mouseup', () => { drag = null; });
+window.addEventListener('mousemove', e => {
+  if (!drag) return;
+  az += (e.clientX - drag[0]) * 0.01;
+  el = Math.max(-1.5, Math.min(1.5, el + (e.clientY - drag[1]) * 0.01));
+  drag = [e.clientX, e.clientY];
+  refresh();
+});
+img.addEventListener('wheel', e => {
+  e.preventDefault();
+  r *= Math.exp(e.deltaY * 0.001);
+  refresh();
+});
+document.getElementById('shot').onclick = async () => {
+  const resp = await fetch(`/screenshot?` + url().slice(7));
+  document.getElementById('stats').textContent = await resp.text();
+};
+document.getElementById('glb').onclick = async () => {
+  const resp = await fetch('/export');
+  document.getElementById('stats').textContent = await resp.text();
+};
+const tslider = document.getElementById('time');
+if (%IS4D%) document.getElementById('tctl').style.display = 'inline';
+tslider.oninput = () => { t = parseFloat(tslider.value); refresh(); };
+refresh();
+</script></body></html>
+"""
+
+
+class ViewerState:
+    """Holds the scene + render plumbing shared across requests (the device
+    runs one frame at a time; a lock serializes renders)."""
+
+    def __init__(self, cloud, settings, width, height, background, target,
+                 radius, impl="auto", scene=None):
+        self.cloud = cloud
+        self.scene = scene
+        self.settings = settings
+        self.width = width
+        self.height = height
+        self.background = background
+        self.target = target
+        self.radius = radius
+        self.impl = impl
+        self.lock = threading.Lock()
+        self.shots = 0
+
+    def camera(self, az: float, el: float, radius: float):
+        import bevy_gaussian_splatting_tpu as bgs
+
+        tx, ty, tz = self.target
+        eye = (
+            tx + radius * math.cos(el) * math.sin(az),
+            ty + radius * math.sin(el),
+            tz + radius * math.cos(el) * math.cos(az),
+        )
+        return bgs.Camera.create(
+            eye=eye, target=tuple(self.target), width=self.width, height=self.height
+        )
+
+    def render_png(self, az, el, radius, t) -> bytes:
+        import dataclasses
+
+        from PIL import Image
+
+        from bevy_gaussian_splatting_tpu.render.api import render
+        from bevy_gaussian_splatting_tpu.utils.image import to_srgb_u8
+
+        settings = self.settings
+        if t is not None:
+            settings = dataclasses.replace(settings, time=float(t))
+        with self.lock:
+            cam = self.camera(az, el, radius)
+            if self.scene is not None:
+                from bevy_gaussian_splatting_tpu.render.scene import render_scene
+
+                img = render_scene(
+                    self.scene, cam, background=self.background, impl=self.impl
+                )
+            else:
+                img = render(
+                    self.cloud, cam, settings,
+                    background=self.background, impl=self.impl,
+                )
+            u8 = to_srgb_u8(img)
+        buf = io.BytesIO()
+        Image.fromarray(u8, mode="RGBA").save(buf, format="PNG")
+        return buf.getvalue()
+
+    def export_glb(self, path: str) -> int:
+        from bevy_gaussian_splatting_tpu.io.scene import (
+            write_khr_gaussian_scene_glb,
+        )
+
+        if self.scene is not None:
+            clouds = self.scene.clouds  # already SceneCloud entries
+        else:
+            import numpy as np
+
+            clouds = [("cloud", self.cloud, np.eye(4, dtype=np.float32))]
+        with self.lock:
+            return write_khr_gaussian_scene_glb(clouds, path)
+
+
+def make_handler(state: ViewerState):
+    is4d = type(state.cloud).__name__ == "Gaussian4dCloud"
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _send(self, code, ctype, body: bytes):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _params(self):
+            q = parse_qs(urlparse(self.path).query)
+
+            def f(name, default):
+                return float(q.get(name, [default])[0])
+
+            return f("az", 0.0), f("el", 0.3), f("r", state.radius), f("t", 0.0)
+
+        def do_GET(self):
+            route = urlparse(self.path).path
+            try:
+                if route == "/":
+                    page = (
+                        _PAGE.replace("%W%", str(state.width))
+                        .replace("%H%", str(state.height))
+                        .replace("%N%", str(len(state.cloud)))
+                        .replace("%AZ%", "0.0")
+                        .replace("%EL%", "0.3")
+                        .replace("%R%", str(state.radius))
+                        .replace("%IS4D%", "true" if is4d else "false")
+                    )
+                    self._send(200, "text/html", page.encode())
+                elif route == "/frame":
+                    az, el, r, t = self._params()
+                    self._send(200, "image/png", state.render_png(az, el, r, t))
+                elif route == "/screenshot":
+                    az, el, r, t = self._params()
+                    png = state.render_png(az, el, r, t)
+                    path = f"viewer_screenshot_{state.shots}.png"
+                    state.shots += 1
+                    with open(path, "wb") as fh:
+                        fh.write(png)
+                    self._send(200, "text/plain", f"saved {path}".encode())
+                elif route == "/export":
+                    path = "viewer_export.glb"
+                    n = state.export_glb(path)
+                    self._send(200, "text/plain", f"wrote {path} ({n} bytes)".encode())
+                elif route == "/info":
+                    info = {
+                        "gaussians": len(state.cloud),
+                        "width": state.width,
+                        "height": state.height,
+                        "mode": state.settings.gaussian_mode.value,
+                    }
+                    self._send(200, "application/json", json.dumps(info).encode())
+                else:
+                    self._send(404, "text/plain", b"not found")
+            except BrokenPipeError:
+                pass
+            except Exception as e:  # surface render errors to the browser
+                self._send(500, "text/plain", f"{type(e).__name__}: {e}".encode())
+
+    return Handler
+
+
+def main(argv=None) -> int:
+    from bevy_gaussian_splatting_tpu.viewer.headless import build_parser
+
+    p = build_parser()
+    p.add_argument("--port", type=int, default=8720)
+    p.add_argument("--orbit-radius", type=float, default=None,
+                   help="initial camera distance (default: |eye - target|)")
+    args = p.parse_args(argv)
+
+    import jax.numpy as jnp
+
+    import bevy_gaussian_splatting_tpu as bgs
+    from bevy_gaussian_splatting_tpu.io.loader import load_cloud
+    from bevy_gaussian_splatting_tpu.models.settings import (
+        DrawMode,
+        GaussianMode,
+        RadixSortDepthBits,
+        RasterizeMode,
+        SortMode,
+    )
+
+    scene = None
+    if args.input_scene:
+        from bevy_gaussian_splatting_tpu.io.loader import load_scene
+
+        scene = load_scene(args.input_scene)
+        cloud = scene.clouds[0].cloud
+    elif args.input_cloud:
+        cloud = load_cloud(args.input_cloud)
+        if isinstance(cloud, bgs.Gaussian4dCloud):
+            args.gaussian_mode = "gaussian_4d"
+    elif args.test_model:
+        cloud = bgs.test_model_3d()
+    elif args.gaussian_mode == "gaussian_4d":
+        cloud = bgs.random_gaussians_4d_seeded(args.gaussian_count, args.seed)
+    else:
+        cloud = bgs.random_gaussians_3d_seeded(args.gaussian_count, args.seed)
+
+    settings = bgs.CloudSettings(
+        aabb=args.aabb,
+        gaussian_mode=GaussianMode(args.gaussian_mode),
+        rasterize_mode=RasterizeMode(args.rasterize_mode),
+        draw_mode=DrawMode(args.draw_mode),
+        sort_mode=SortMode(args.sort_mode),
+        radix_sort_depth_bits=RadixSortDepthBits(args.radix_bits),
+        time=args.time,
+        global_scale=args.global_scale,
+        global_opacity=args.global_opacity,
+    )
+    eye = args.eye
+    target = args.target
+    radius = args.orbit_radius or math.dist(eye, target) or 5.0
+    state = ViewerState(
+        cloud, settings, args.width, args.height,
+        jnp.asarray(args.background, jnp.float32), target, radius, args.impl,
+        scene=scene,
+    )
+
+    server = ThreadingHTTPServer(("0.0.0.0", args.port), make_handler(state))
+    print(f"viewer: {len(cloud)} gaussians at http://localhost:{args.port}/ "
+          f"({args.width}x{args.height})", flush=True)
+    t0 = time.perf_counter()
+    state.render_png(0.0, 0.3, radius, None)  # compile before first request
+    print(f"pipeline compiled in {time.perf_counter() - t0:.2f}s", flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    return 0
+
+
+if __name__ == "__main__":
+    return_code = main()
+    raise SystemExit(return_code)

@@ -57,6 +57,17 @@ class TestShardedRender:
     def test_larger_cloud(self, mesh):
         self._compare(bgs.CloudSettings(), n=2000, seed=3)
 
+    def test_2dgs_surfel(self, mesh):
+        # Band binning/pixels run in the full image frame, so the pair sets
+        # and pixel coords match single-chip exactly; the remaining tolerance
+        # covers cross-program ulp differences in the projected surfel
+        # homography (us = px/pz amplifies an input ulp near small |pz|),
+        # which XLA does not guarantee bitwise across compilations.
+        self._compare(
+            bgs.CloudSettings(gaussian_mode=bgs.GaussianMode.GAUSSIAN_2D),
+            atol=3e-4,
+        )
+
     def test_deterministic(self, mesh):
         cloud = bgs.random_gaussians_3d_seeded(200, seed=2)
         sharded = shard_cloud(cloud, mesh)

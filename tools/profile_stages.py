@@ -317,11 +317,95 @@ def main():
             seg = P // n
             ends = (jnp.arange(n, dtype=jnp.int32) + 1) * seg - 1
             starts = ends - seg
-            s0 = jnp.where(starts >= 0, cum[jnp.maximum(starts, 0)], 0.0)
+            s0 = jnp.where((starts >= 0)[:, None], cum[jnp.maximum(starts, 0)], 0.0)
             return cum[ends] - s0
 
         t = timeit("contig segsum (cumsum+2 gathers)", segsum_contig, upd16)
         rate("segsum", t, p_max * 64)
+
+        @jax.jit
+        def segsum_flags(upd):
+            from bevy_gaussian_splatting_tpu.ops.rasterize_tile import (
+                segment_sum_contiguous,
+            )
+
+            P = upd.shape[0]
+            seg = P // n
+            gidx_s = jnp.arange(P, dtype=jnp.int32) // seg
+            offs = jnp.arange(n, dtype=jnp.int32) * seg
+            cnts = jnp.full((n,), seg, jnp.int32)
+            return segment_sum_contiguous(upd, gidx_s, offs, cnts, max_segment=1024)
+
+        t = timeit("segmented-flag scan reduction", segsum_flags, upd16)
+        rate("segsum-flags", t, p_max * 64)
+
+        # ownership scatter variants (bin_gaussians slot_owner_scan input);
+        # strictly increasing starts so the sorted+unique hints are honest
+        starts = jnp.sort(
+            jnp.asarray(rng.integers(0, p_max - n, size=n), jnp.int32)
+        ) + jnp.arange(n, dtype=jnp.int32)
+        vals = jnp.arange(n, dtype=jnp.int32) + 1
+
+        @jax.jit
+        def scat_max_plain(starts, vals):
+            return jnp.zeros((p_max,), jnp.int32).at[starts].max(vals, mode="drop")
+
+        timeit("scatter-max 1M -> P plain", scat_max_plain, starts, vals)
+
+        @jax.jit
+        def scat_max_hinted(starts, vals):
+            return jnp.zeros((p_max,), jnp.int32).at[starts].max(
+                vals, mode="drop", unique_indices=True, indices_are_sorted=True
+            )
+
+        timeit("scatter-max 1M -> P sorted+unique", scat_max_hinted, starts, vals)
+
+        @jax.jit
+        def blocked_cummax_p(x):
+            return rt._blocked_cummax(x)
+
+        marks = scat_max_plain(starts, vals)
+        timeit("blocked cummax over P", blocked_cummax_p, marks)
+
+    if only in ("", "train"):
+        log("--- training step (fwd+bwd) ---")
+        from bevy_gaussian_splatting_tpu.ops.rasterize_tile import (
+            make_tiled_pipeline,
+            pair_count,
+            pairs_budget,
+            render_tiled,
+        )
+
+        total = int(
+            jax.jit(
+                lambda c: pair_count(c, camera, settings, width=width, height=height)
+            )(cloud)
+        )
+        for label, budget in (
+            ("static budget", None),
+            ("adaptive budget", pairs_budget(n, total)),
+        ):
+            fwd_pipe = make_tiled_pipeline(
+                settings, width, height, differentiable=False,
+                compositor="pallas", pairs_max=budget,
+            )
+            timeit(f"fwd pallas ({label})", fwd_pipe, cloud, camera,
+                   jnp.eye(4), bg, jnp.float32(1e-7))
+            target = fwd_pipe(cloud, camera, jnp.eye(4), bg, jnp.float32(0.0))
+
+            @jax.jit
+            def fwd_bwd(c, t, budget=budget, target=target):
+                def loss(c):
+                    img = render_tiled(
+                        c, camera, settings, None, bg, t,
+                        width=width, height=height, differentiable=True,
+                        compositor="pallas", pairs_max=budget,
+                    )
+                    return jnp.mean((img - target) ** 2)
+
+                return jax.value_and_grad(loss)(c)
+
+            timeit(f"fwd+bwd pallas ({label})", fwd_bwd, cloud, jnp.float32(1e-7))
 
     log("done")
     return 0
