@@ -27,8 +27,18 @@ def load_cloud(path: str) -> Union[Gaussian3dCloud, Gaussian4dCloud]:
     if ext == ".ply4d":
         return ply_codec.parse_ply_4d(data)
     if ext == ".gcloud":
+        # codec sniff: the bincode2 alternate codec is gzip-wrapped (magic
+        # 1f 8b); flexbuffers is the default (src/io/gcloud/mod.rs features)
+        if data[:2] == b"\x1f\x8b":
+            from bevy_gaussian_splatting_tpu.io import bincode2
+
+            return bincode2.decode_bincode_3d(data)
         return gcloud_codec.decode_gcloud_3d(data)
     if ext == ".gc4d":
+        if data[:2] == b"\x1f\x8b":
+            from bevy_gaussian_splatting_tpu.io import bincode2
+
+            return bincode2.decode_bincode_4d(data)
         return gcloud_codec.decode_gcloud_4d(data)
     if ext == ".npz":
         return gcloud_codec.decode_npz(data)
@@ -50,18 +60,31 @@ def load_any(path: str):
     return load_cloud(path)
 
 
-def save_cloud(cloud, path: str) -> int:
+def save_cloud(cloud, path: str, codec: str = "flexbuffers") -> int:
     """CloudCodec::write_to_file equivalent (src/io/codec.rs:8-17). Returns the
-    byte count written."""
+    byte count written.
+
+    ``codec``: 'flexbuffers' (default) or 'bincode2' (gzip-compressed
+    alternate codec; same extensions, auto-detected on load)."""
     ext = os.path.splitext(path)[1].lower()
     if ext == ".gcloud":
         if not isinstance(cloud, Gaussian3dCloud):
             raise ValueError(".gcloud stores 3D clouds")
-        data = gcloud_codec.encode_gcloud_3d(cloud)
+        if codec == "bincode2":
+            from bevy_gaussian_splatting_tpu.io import bincode2
+
+            data = bincode2.encode_bincode_3d(cloud)
+        else:
+            data = gcloud_codec.encode_gcloud_3d(cloud)
     elif ext == ".gc4d":
         if not isinstance(cloud, Gaussian4dCloud):
             raise ValueError(".gc4d stores 4D clouds")
-        data = gcloud_codec.encode_gcloud_4d(cloud)
+        if codec == "bincode2":
+            from bevy_gaussian_splatting_tpu.io import bincode2
+
+            data = bincode2.encode_bincode_4d(cloud)
+        else:
+            data = gcloud_codec.encode_gcloud_4d(cloud)
     elif ext == ".ply":
         data = ply_codec.write_ply_3d(cloud)
     elif ext == ".npz":

@@ -41,6 +41,32 @@ class TestGcloudRoundTrip:
         out = gcloud_codec.decode_gcloud_4d(data)
         assert_clouds_equal(cloud, out)
 
+    def test_bincode2_roundtrip(self):
+        """Alternate gzip(bincode) codec (src/io/gcloud/bincode2.rs) with
+        magic-sniffed load dispatch and the raw (uncompressed) fallback."""
+        from bevy_gaussian_splatting_tpu.io import bincode2
+
+        c3 = bgs.random_gaussians_3d_seeded(300, seed=5)
+        data = bincode2.encode_bincode_3d(c3)
+        assert data[:2] == b"\x1f\x8b"  # gzip magic
+        assert_clouds_equal(c3, bincode2.decode_bincode_3d(data))
+        # raw fallback path
+        raw = bincode2.encode_bincode_3d(c3, compress=False)
+        assert_clouds_equal(c3, bincode2.decode_bincode_3d(raw))
+
+        c4 = bgs.random_gaussians_4d_seeded(70, seed=5)
+        assert_clouds_equal(c4, bincode2.decode_bincode_4d(bincode2.encode_bincode_4d(c4)))
+
+    def test_bincode2_file_dispatch(self, tmp_path):
+        cloud = bgs.random_gaussians_3d_seeded(64, seed=6)
+        p = str(tmp_path / "c.gcloud")
+        n = save_cloud(cloud, p, codec="bincode2")
+        assert n > 0
+        assert_clouds_equal(cloud, load_cloud(p))
+        # flexbuffers file at the same extension still loads
+        save_cloud(cloud, p)
+        assert_clouds_equal(cloud, load_cloud(p))
+
     def test_npz_roundtrip(self):
         for cloud in (
             bgs.random_gaussians_3d_seeded(1000, seed=3),
