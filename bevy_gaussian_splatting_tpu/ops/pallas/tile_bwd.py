@@ -77,14 +77,50 @@ def _cumsum_lanes_exclusive(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(lane == 0, 0.0, rolled)
 
 
-def _alpha_and_partials(chunk, px_vp, py_vp, aabb: bool):
+def _alpha_and_partials(chunk, px_vp, py_vp, mode: str, width: int, height: int):
     """Forward alpha plus the partials needed for the parameter chain.
 
     Returns (alpha, aux) with aux mode-specific tensors, all [PIX, CHUNK]."""
+    from bevy_gaussian_splatting_tpu.ops.pallas.tile_fwd import rgb_row
+
     cx = chunk[0:1, :]
     cy = chunk[1:2, :]
-    opacity = chunk[9:10, :]
-    if aabb:
+    opacity = chunk[rgb_row(mode) + 3 : rgb_row(mode) + 4, :]
+    if mode == "2d":
+        # surfel homography (gaussian_2d.wgsl:134-156); see tile_fwd._chunk_alpha
+        px_ndc = px_vp * (1.0 / width)
+        py_ndc = py_vp * (1.0 / height)
+        m2x = chunk[2:3, :]
+        m2y = chunk[3:4, :]
+        mr = chunk[4:5, :]
+        dxn = px_ndc - cx
+        dyn = py_ndc - cy
+        inside = (jnp.abs(dxn) * width <= mr) & (jnp.abs(dyn) * height <= mr)
+        pcx = m2x + dxn * width
+        pcy = m2y + dyn * width
+        t = [chunk[5 + i : 6 + i, :] for i in range(9)]
+        hu = [pcx * t[3 * r + 2] - t[3 * r + 0] for r in range(3)]
+        hv = [pcy * t[3 * r + 2] - t[3 * r + 1] for r in range(3)]
+        px_ = hu[1] * hv[2] - hu[2] * hv[1]
+        py_ = hu[2] * hv[0] - hu[0] * hv[2]
+        pz_raw = hu[0] * hv[1] - hu[1] * hv[0]
+        pz_ = jnp.where(jnp.abs(pz_raw) > 1e-12, pz_raw, 1e-12)
+        us = px_ / pz_
+        vs = py_ / pz_
+        s3d = us * us + vs * vs
+        d2 = (m2x - pcx) ** 2 + (m2y - pcy) ** 2
+        power = -0.5 * jnp.minimum(s3d, 2.0 * d2)
+        g = jnp.where(inside, jnp.exp(power), 0.0)
+        raw = g * opacity
+        capped = raw >= ALPHA_CAP
+        alpha = jnp.minimum(raw, ALPHA_CAP)
+        return alpha, {
+            "g": g, "capped": capped, "dxn": dxn, "dyn": dyn,
+            "pcx": pcx, "pcy": pcy, "hu": hu, "hv": hv, "t": t,
+            "us": us, "vs": vs, "pz": pz_, "pz_raw": pz_raw,
+            "s3d": s3d, "d2": d2, "m2x": m2x, "m2y": m2y,
+        }
+    if mode == "aabb":
         dx = cx - px_vp
         dy = cy - py_vp
         a_ = chunk[2:3, :]
@@ -135,8 +171,11 @@ def _backward_kernel(
     tx_count: int,
     width: int,
     height: int,
-    aabb: bool,
+    mode: str,
 ):
+    from bevy_gaussian_splatting_tpu.ops.pallas.tile_fwd import rgb_row
+
+    ro = rgb_row(mode)
     t = pl.program_id(0)
     start_raw = start_ref[t]
     # align the DMA base down to the lane tiling; the sub-128 prefix lanes
@@ -181,7 +220,7 @@ def _backward_kernel(
         dma_in(c % 2, c).wait()
         chunk = chunk_vmem[c % 2]
 
-        alpha, aux = _alpha_and_partials(chunk, px_vp, py_vp, aabb)
+        alpha, aux = _alpha_and_partials(chunk, px_vp, py_vp, mode, width, height)
         lane_idx = c * CHUNK + lane
         in_rng = (lane_idx >= prefix) & (lane_idx < total)
         alpha = jnp.where(in_rng, alpha, 0.0)
@@ -192,7 +231,7 @@ def _backward_kernel(
         T_i = excl * trans  # [PIX, CHUNK] transmittance in front of splat i
         w = alpha * T_i
 
-        crgb = [chunk[6 + ch : 7 + ch, :] for ch in range(3)]
+        crgb = [chunk[ro + ch : ro + ch + 1, :] for ch in range(3)]
         cw = [crgb[ch] * w for ch in range(3)]
 
         # dL/dc_i: reduce over pixels
@@ -215,11 +254,12 @@ def _backward_kernel(
         dalpha = jnp.where(in_rng, dalpha, 0.0)
 
         g = aux["g"]
-        opacity = chunk[9:10, :]
+        opacity = chunk[ro + 3 : ro + 4, :]
         dop = jnp.sum(dalpha * g, axis=0, keepdims=True)
         dpower = dalpha * g * opacity  # == dalpha * alpha_raw (pre-cap)
 
-        if aabb:
+        zeros = jnp.zeros_like(dop)
+        if mode == "aabb":
             dx, dy = aux["dx"], aux["dy"]
             da = jnp.sum(dpower * (-0.5 * dx * dx), axis=0, keepdims=True)
             db = jnp.sum(dpower * (dx * dy), axis=0, keepdims=True)
@@ -231,10 +271,53 @@ def _backward_kernel(
             dpdy = -c_ * dy + b_ * dx
             dcx = jnp.sum(dpower * dpdx, axis=0, keepdims=True)  # ddx/dcx=+1
             dcy = jnp.sum(dpower * dpdy, axis=0, keepdims=True)
-            d2 = da
-            d3 = db
-            d4 = dcc
-            d5 = jnp.zeros_like(da)  # radius: inside-mask only, grad 0
+            head = [dcx, dcy, da, db, dcc, zeros]  # radius: mask-only, grad 0
+        elif mode == "2d":
+            # surfel chain: power = -1/2 min(s3d, 2 d2);
+            # s3d = us^2 + vs^2 with (us, vs) = (px_, py_)/pz_ from the
+            # hu x hv cross product; d2 = W^2 (dxn^2 + dyn^2)
+            us, vs, pz = aux["us"], aux["vs"], aux["pz"]
+            hu, hv, tt = aux["hu"], aux["hv"], aux["t"]
+            pcx, pcy = aux["pcx"], aux["pcy"]
+            dxn, dyn = aux["dxn"], aux["dyn"]
+            take3d = aux["s3d"] <= 2.0 * aux["d2"]  # min() picks s3d branch
+            ds3d = jnp.where(take3d, -0.5 * dpower, 0.0)
+            dd2 = jnp.where(take3d, 0.0, -dpower)
+
+            dus = ds3d * 2.0 * us
+            dvs = ds3d * 2.0 * vs
+            dpx = dus / pz
+            dpy = dvs / pz
+            dpz = -(dus * us + dvs * vs) / pz
+            # clamp transpose: no gradient where |pz_raw| <= 1e-12
+            dpz = jnp.where(jnp.abs(aux["pz_raw"]) > 1e-12, dpz, 0.0)
+            # cross product transpose: p = hu x hv -> dhu = hv x dp, dhv = dp x hu
+            dp = (dpx, dpy, dpz)
+            dhu = [hv[1] * dp[2] - hv[2] * dp[1],
+                   hv[2] * dp[0] - hv[0] * dp[2],
+                   hv[0] * dp[1] - hv[1] * dp[0]]
+            dhv = [dp[1] * hu[2] - dp[2] * hu[1],
+                   dp[2] * hu[0] - dp[0] * hu[2],
+                   dp[0] * hu[1] - dp[1] * hu[0]]
+            # hu_r = pcx t[r,2] - t[r,0]; hv_r = pcy t[r,2] - t[r,1]
+            dt = []
+            for r in range(3):
+                dt.append(jnp.sum(-dhu[r], axis=0, keepdims=True))  # t[r,0]
+                dt.append(jnp.sum(-dhv[r], axis=0, keepdims=True))  # t[r,1]
+                dt.append(jnp.sum(dhu[r] * pcx + dhv[r] * pcy, axis=0,
+                                  keepdims=True))  # t[r,2]
+            dpcx = sum(dhu[r] * tt[3 * r + 2] for r in range(3))
+            dpcy = sum(dhv[r] * tt[3 * r + 2] for r in range(3))
+            # d2 = W^2 (dxn^2 + dyn^2): independent of m2 (terms cancel)
+            w2 = float(width) * float(width)
+            ddxn = dd2 * 2.0 * w2 * dxn + dpcx * width
+            ddyn = dd2 * 2.0 * w2 * dyn + dpcy * width
+            # dxn = px_ndc - cx ; dyn = py_ndc - cy
+            dcx = jnp.sum(-ddxn, axis=0, keepdims=True)
+            dcy = jnp.sum(-ddyn, axis=0, keepdims=True)
+            dm2x = jnp.sum(dpcx, axis=0, keepdims=True)
+            dm2y = jnp.sum(dpcy, axis=0, keepdims=True)
+            head = [dcx, dcy, dm2x, dm2y, zeros] + dt  # mr: mask-only, grad 0
         else:
             u, v = aux["u"], aux["v"]
             b1, b2 = aux["b1"], aux["b2"]
@@ -251,14 +334,12 @@ def _backward_kernel(
             e1y = chunk[3:4, :]
             dcx = jnp.sum(-du * e1x / b1 - dv * e1y / b2, axis=0, keepdims=True)
             dcy = jnp.sum(-du * e1y / b1 + dv * e1x / b2, axis=0, keepdims=True)
+            head = [dcx, dcy, d2, d3, d4, d5]
 
-        zeros = jnp.zeros_like(dop)
-        rows = [
-            dcx, dcy, d2, d3, d4, d5,
-            dc[0], dc[1], dc[2], dop,
-            zeros, zeros, zeros, zeros, zeros, zeros,
-        ]
-        dgrad = jnp.concatenate(rows, axis=0)  # [PW, CHUNK]
+        pw = dchunk_vmem.shape[0]
+        rows = head + [dc[0], dc[1], dc[2], dop]
+        rows += [zeros] * (pw - len(rows))
+        dgrad = jnp.concatenate(rows, axis=0)  # [pw, CHUNK]
         # in_rng already zeroed out-of-range gradient lanes; additionally the
         # first chunk must PRESERVE the previous tile's prefix lanes
         @pl.when(c == 0)
@@ -308,13 +389,20 @@ def pallas_composite_backward(
 
     Pair slots no tile covers (k_max-truncated tails, sorted-invalid suffix)
     come back as exact zeros via the donated zero-initialized output."""
+    from bevy_gaussian_splatting_tpu.ops.pallas.tile_fwd import (
+        kernel_mode,
+        param_width,
+    )
+
+    mode = kernel_mode(settings)
+    pw = param_width(mode)
     tx_count = width // TILE
     ty_count = height // TILE
     num_tiles = tx_count * ty_count
     p, c = params_sorted.shape
 
     p_pad = (p + CHUNK + 127) // 128 * 128
-    params_t = jnp.zeros((PW, p_pad), jnp.float32)
+    params_t = jnp.zeros((pw, p_pad), jnp.float32)
     params_t = params_t.at[:c, :p].set(params_sorted.T)
 
     kernel = functools.partial(
@@ -322,7 +410,7 @@ def pallas_composite_backward(
         tx_count=tx_count,
         width=width,
         height=height,
-        aabb=settings.aabb,
+        mode=mode,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -335,9 +423,9 @@ def pallas_composite_backward(
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, PW, CHUNK), jnp.float32),
-            pltpu.VMEM((PW, CHUNK), jnp.float32),
-            pltpu.VMEM((PW, CHUNK), jnp.float32),
+            pltpu.VMEM((2, pw, CHUNK), jnp.float32),
+            pltpu.VMEM((pw, CHUNK), jnp.float32),
+            pltpu.VMEM((pw, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
@@ -346,7 +434,7 @@ def pallas_composite_backward(
 
     dparams_t = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((PW, p_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((pw, p_pad), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
         # flattened inputs: [start, count, params_t, gbar, zeros] -> the zeros
@@ -358,7 +446,7 @@ def pallas_composite_backward(
         count.astype(jnp.int32),
         params_t,
         gbar.reshape(num_tiles * 8, PIX),
-        jnp.zeros((PW, p_pad), jnp.float32),
+        jnp.zeros((pw, p_pad), jnp.float32),
     )
 
     return dparams_t[:c, :p].T

@@ -171,9 +171,10 @@ def _cummax_axis(x: jnp.ndarray, axis: int) -> jnp.ndarray:
     return x
 
 
-def _blocked_cummax(x: jnp.ndarray, block: int = 512) -> jnp.ndarray:
+def _blocked_cummax(x: jnp.ndarray, block: int = 128) -> jnp.ndarray:
     """Inclusive cummax of a long 1D array: per-row log-shift scan over
-    ``block`` lanes + a tiny carry scan (keeps every op lane-shaped)."""
+    ``block`` lanes + a tiny carry scan (keeps every op lane-shaped; one full
+    128-lane tile per row -> 7 passes over the data instead of log2(n))."""
     n = x.shape[0]
     pad = (-n) % block
     if pad:
@@ -236,6 +237,19 @@ def segment_sum_contiguous(
     return jnp.where((cnt_cloud > 0)[:, None], out, 0.0)
 
 
+def front_depth_perm(back_key: jnp.ndarray) -> jnp.ndarray:
+    """Front-to-back permutation: exact reverse of the reference's stable
+    back-to-front radix order (key ascending, index ascending), realized
+    directly as (complemented key ascending, reversed index ascending)."""
+    n = back_key.shape[0]
+    front_key = jnp.uint32(0xFFFFFFFF) - back_key
+    rev_idx = jnp.uint32(n - 1) - jnp.arange(n, dtype=jnp.uint32)
+    _, _, perm = jax.lax.sort(
+        (front_key, rev_idx, jnp.arange(n, dtype=jnp.int32)), num_keys=2
+    )
+    return perm
+
+
 def bin_gaussians(
     splats: dict,
     settings: CloudSettings,
@@ -245,6 +259,7 @@ def bin_gaussians(
     with_inverse: bool = False,
     tile_row0=None,
     band_tile_rows: Optional[int] = None,
+    perm: Optional[jnp.ndarray] = None,
 ):
     """Build sorted (tile, pair) assignment with static shapes.
 
@@ -300,17 +315,20 @@ def bin_gaussians(
     # front order = exact reverse of the reference back-to-front radix order:
     # complement of the (possibly shifted) radix key (src/sort/radix.wgsl:88-99)
     # with ties broken by DESCENDING cloud index (stable painter reversed)
-    front_key = jnp.uint32(0xFFFFFFFF) - splats["sort_key"]
-    rev_idx = jnp.uint32(n - 1) - jnp.arange(n, dtype=jnp.uint32)
-    _, _, perm = jax.lax.sort(
-        (front_key, rev_idx, jnp.arange(n, dtype=jnp.int32)), num_keys=2
-    )
+    if perm is None:
+        perm = front_depth_perm(splats["sort_key"])
 
-    tx0p = tx0[perm]
-    ty0p = ty0[perm]
-    rect_wp = (tx1 - tx0 + 1)[perm]
-    rect_hp = (ty1 - ty0 + 1)[perm]
-    counts = jnp.where(active[perm], rect_wp * rect_hp, 0)
+    # ONE wide gather by perm (row gathers cost ~7 ns/row regardless of
+    # width, so five 1D gathers would cost 5x this)
+    pre = jnp.stack(
+        [tx0, ty0, tx1 - tx0 + 1, ty1 - ty0 + 1, active.astype(jnp.int32)],
+        axis=1,
+    )[perm]
+    tx0p = pre[:, 0]
+    ty0p = pre[:, 1]
+    rect_wp = pre[:, 2]
+    rect_hp = pre[:, 3]
+    counts = jnp.where(pre[:, 4] > 0, rect_wp * rect_hp, 0)
 
     cum = jnp.cumsum(counts)  # inclusive
     total = cum[-1]
@@ -346,9 +364,8 @@ def bin_gaussians(
     _, inv_pair = jax.lax.sort((slot_s, slots), num_keys=1)
     # depth-rank of each cloud index: inverse of the depth pre-sort perm
     _, rank = jax.lax.sort((perm, jnp.arange(n, dtype=jnp.int32)), num_keys=1)
-    off_cloud = offsets[rank]
-    cnt_cloud = counts[rank]
-    return g_s, tile_s, valid_s, total, inv_pair, gidx, off_cloud, cnt_cloud
+    oc = jnp.stack([offsets, counts], axis=1)[rank]  # one gather, not two
+    return g_s, tile_s, valid_s, total, inv_pair, gidx, oc[:, 0], oc[:, 1]
 
 
 def tile_ranges(pair_tile: jnp.ndarray, num_tiles: int):
@@ -660,17 +677,22 @@ def render_tiled(
     n = len(cloud)
     clip_from_world = camera.clip_from_view @ camera.view_from_world
 
-    # depth-mode min/max needs the back-to-front order (reference quirk,
-    # gaussian.wgsl:329-347)
-    keys, order = sort_ops.sort_gaussians_radix(
+    # ONE N-element sort serves both consumers: the binning depth pre-sort
+    # (front-to-back) and the depth-mode min/max quirk (back-to-front entries
+    # 1 and n-1, gaussian.wgsl:329-347) — the front order is the exact
+    # reverse of the reference's stable back-to-front radix order, so
+    # back[j] == front[n-1-j].
+    back_key = sort_ops.radix_depth_key(
         cloud.position, model_transform, clip_from_world, camera.world_position,
         settings.radix_sort_depth_bits.bits,
     )
+    perm = front_depth_perm(back_key)
+
     from bevy_gaussian_splatting_tpu.ops.transforms import apply_transform
 
     wp = apply_transform(model_transform, cloud.position)
-    first_idx = order[min(1, n - 1)]
-    last_idx = order[n - 1]
+    first_idx = perm[n - 1 - min(1, n - 1)]  # back entry min(1, n-1)
+    last_idx = perm[0]  # back entry n-1 (nearest)
     max_d = jnp.linalg.norm(wp[first_idx] - camera.world_position)
     min_d = jnp.linalg.norm(wp[last_idx] - camera.world_position)
 
@@ -681,30 +703,20 @@ def render_tiled(
     # the device radix keys: used for (a) sentinel culling exactly like the
     # GPU sort and (b) the per-pair front-to-back ordering (quantized to the
     # configured radix width for tie parity with the reference)
-    back_key = sort_ops.radix_depth_key(
-        cloud.position, model_transform, clip_from_world, camera.world_position,
-        settings.radix_sort_depth_bits.bits,
-    )
     splats["sort_key"] = back_key
     splats["mask"] = splats["mask"] & (back_key != sort_ops.SENTINEL_KEY)
 
     p_max = pairs_max if pairs_max is not None else pairs_budget(n, pairs_hint)
     k_max = tile_budget(n)
-    if (
-        compositor == "pallas"
-        and differentiable
-        and (
-            settings.gaussian_mode == GaussianMode.GAUSSIAN_2D
-            or settings.visualize_bounding_box
-        )
-    ):
-        # the hand-derived backward kernel covers the 3D/4D modes; 2DGS and
-        # bbox-viz training fall back to XLA AD (identical math, slower)
+    if compositor == "pallas" and differentiable and settings.visualize_bounding_box:
+        # the hand-derived backward kernel covers 3D/4D/2DGS; bbox-viz
+        # training falls back to XLA AD (identical math, debug-only feature)
         compositor = "xla"
 
     train_pallas = compositor == "pallas" and differentiable
     bins = bin_gaussians(
-        splats, settings, width, height, p_max, with_inverse=train_pallas
+        splats, settings, width, height, p_max, with_inverse=train_pallas,
+        perm=perm,
     )
     g_s, tile_s, valid_s = bins[0], bins[1], bins[2]
     params = pack_raster_params(splats, settings, width, height)

@@ -144,39 +144,47 @@ def _local_band_render(
     p_max = pairs_budget(n_total)
     k_max = tile_budget(n_total)
     band_rows = band_h // TILE
-    g_s, tile_s, valid_s, _ = bin_gaussians(
+    use_pallas = compositor == "pallas" and settings.gaussian_mode.value != "gaussian_2d"
+    bins = bin_gaussians(
         g_splats, settings, width, height, p_max,
         tile_row0=band * band_rows, band_tile_rows=band_rows,
+        with_inverse=use_pallas,
     )
+    g_s, tile_s, valid_s = bins[0], bins[1], bins[2]
 
     params_full = gathered["params"]  # full-image-frame params, untouched
 
     num_band_tiles = (width // TILE) * (band_h // TILE)
     start, end = tile_ranges(tile_s, num_band_tiles)
 
-    if compositor == "pallas" and settings.gaussian_mode.value != "gaussian_2d":
+    if use_pallas:
         import jax as _jax
 
-        from bevy_gaussian_splatting_tpu.ops.pallas.core import get_composite_core
+        from bevy_gaussian_splatting_tpu.ops.pallas.core import get_train_core
         from bevy_gaussian_splatting_tpu.ops.pallas.tile_fwd import (
             composite_epilogue,
         )
 
-        # both kernels accept unaligned tile starts (DMA base align-down +
-        # prefix mask/merge), so the pair-sorted buffer is used directly.
-        # The Pallas kernel derives pixel coords from band-local tile ids, so
-        # it needs the y center rebuilt in the band frame (col 1 = cy_vp):
-        # cy_band chosen so (cy_band - py_band) * band_h == full-frame vp dist
+        # Both kernels accept unaligned tile starts (DMA base align-down +
+        # prefix mask/merge).  The Pallas kernel derives pixel coords from
+        # band-local tile ids, so it needs the y center rebuilt in the band
+        # frame (col 1 = cy_vp): cy_band chosen so (cy_band - py_band) *
+        # band_h == full-frame vp dist.  get_train_core gives the sharded
+        # training step the scatter-free per-gaussian gradient reduction; in
+        # forward-only renders the unused inverse artifacts are DCE'd.
         scale_y = height / band_h
         cy_band = (
             (g_splats["center_ndc"][:, 1] - 1.0) * scale_y + 1.0 + 2.0 * y0_px / band_h
         )
         params_band = params_full.at[:, 1].set(cy_band * band_h)
         count = jnp.minimum(end - start, k_max)
-        params_sorted = jnp.where(valid_s[:, None], params_band[g_s], 0.0)
+        _, _, _, _, inv_pair, gidx, off_cloud, cnt_cloud = bins
         interpret = _jax.default_backend() != "tpu"
-        core = get_composite_core(settings, width, band_h, interpret)
-        out_raw = core(params_sorted, start, count)
+        core = get_train_core(settings, width, band_h, interpret, k_max)
+        out_raw = core(
+            params_band, g_s, valid_s, start, count, inv_pair, gidx,
+            off_cloud, cnt_cloud,
+        )
         return composite_epilogue(out_raw, background, width, band_h)
 
     # XLA compositor: full-image-frame pixel coordinates via pixel_y0, so the

@@ -113,6 +113,12 @@ class TestPallasBackward:
     def test_grads_obb(self):
         self._grad_parity(bgs.CloudSettings())
 
+    def test_grads_2dgs(self):
+        # surfel homography chain (cross-product transpose, min-branch select)
+        self._grad_parity(
+            bgs.CloudSettings(gaussian_mode=bgs.GaussianMode.GAUSSIAN_2D)
+        )
+
     def test_grads_with_background(self):
         cloud = bgs.random_gaussians_3d_seeded(100, seed=6)
         cam = bgs.Camera.create(eye=(0, 0, 60.0), target=(0, 0, 0), width=64, height=64)
