@@ -92,6 +92,24 @@ def main() -> int:
         settings, width, height, differentiable=False, compositor="pallas",
         pairs_max=budget,
     )
+
+    # on-device parity check: the Pallas kernel must match the XLA compositor
+    # on real hardware (interpret-mode tests cannot catch DMA-ordering bugs)
+    if os.environ.get("BENCH_VALIDATE", "1") == "1":
+        n_val = 50_000
+        val_cloud = jax.tree_util.tree_map(lambda a: a[:n_val], cloud)
+        vp = make_tiled_pipeline(
+            settings, width, height, differentiable=False, compositor="pallas"
+        )
+        vx = make_tiled_pipeline(
+            settings, width, height, differentiable=False, compositor="xla"
+        )
+        a = np.asarray(vp(val_cloud, camera, mt, bg, jnp.float32(0.0)))
+        b = np.asarray(vx(val_cloud, camera, mt, bg, jnp.float32(0.0)))
+        err = float(np.abs(a - b).max())
+        log(f"on-device pallas-vs-xla parity (50k): max|diff| = {err:.2e}")
+        if err > 1e-4:
+            log("WARNING: on-device kernel parity FAILED")
     t_fwd = bench_forward(
         fwd_pipe, lambda i: (cloud, camera, mt, bg, jnp.float32(i * 1e-7)), iters
     )

@@ -362,17 +362,25 @@ def _backward_kernel(
         return c + 1, trans, new_prefixes[0], new_prefixes[1], new_prefixes[2]
 
     def cond(state):
-        # NOTE: no transmittance early-exit here — every in-range chunk must
-        # be written (sequential grid order makes the spill-over zero writes
-        # of a chunk tail safe: the next tile rewrites its own slots after)
+        # Early exit once every pixel saturates: beyond that point T_i, w and
+        # t_fin are ~0, so the true gradients are ~0 — and the zeros-donated
+        # output already holds exact zeros for unwritten chunks, so skipping
+        # both the compute AND the writes is safe (matches the forward
+        # kernel's early exit; XLA-AD reference differs by <1e-8).
         c, trans, *_ = state
-        return c < n_chunks
+        return (c < n_chunks) & (jnp.max(trans) > TRANS_EPS)
 
     zero_col = jnp.zeros((PIX, 1), jnp.float32)
-    jax.lax.while_loop(
+    c_fin, *_ = jax.lax.while_loop(
         cond, body, (jnp.int32(0), jnp.ones((PIX, 1), jnp.float32),
                      zero_col, zero_col, zero_col)
     )
+
+    # drain the in-flight prefetch on early exit (same hazard as tile_fwd:
+    # an unwaited DMA could race the next grid step's reuse of the buffer)
+    @pl.when(c_fin < n_chunks)
+    def _():
+        dma_in(c_fin % 2, c_fin).wait()
 
 
 def pallas_composite_backward(

@@ -263,7 +263,13 @@ def _composite_kernel(
 
     accum0 = jnp.zeros((PIX, 3), jnp.float32)
     trans0 = jnp.ones((PIX, 1), jnp.float32)
-    _, accum, trans = jax.lax.while_loop(cond, body, (jnp.int32(0), accum0, trans0))
+    c_fin, accum, trans = jax.lax.while_loop(cond, body, (jnp.int32(0), accum0, trans0))
+
+    # early exit leaves the prefetched chunk's DMA in flight; drain it so the
+    # next grid step's DMA into the same buffer/semaphore cannot race it
+    @pl.when(c_fin < n_chunks)
+    def _():
+        dma(c_fin % 2, c_fin).wait()
 
     # [PIX, 8] -> [8, 256] output block (one transpose per tile)
     packed = jnp.concatenate(
