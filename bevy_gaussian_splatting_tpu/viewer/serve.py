@@ -110,6 +110,9 @@ class ViewerState:
         self.impl = impl
         self.lock = threading.Lock()
         self.shots = 0
+        from bevy_gaussian_splatting_tpu.utils.trace import FrameDiagnostics
+
+        self.diag = FrameDiagnostics()
 
     def camera(self, az: float, el: float, radius: float):
         import bevy_gaussian_splatting_tpu as bgs
@@ -149,6 +152,7 @@ class ViewerState:
                     background=self.background, impl=self.impl,
                 )
             u8 = to_srgb_u8(img)
+            self.diag.tick()
         buf = io.BytesIO()
         Image.fromarray(u8, mode="RGBA").save(buf, format="PNG")
         return buf.getvalue()
@@ -225,6 +229,9 @@ def make_handler(state: ViewerState):
                         "width": state.width,
                         "height": state.height,
                         "mode": state.settings.gaussian_mode.value,
+                        "ema_ms": state.diag.ema_ms,
+                        "fps": state.diag.fps,
+                        "frames": state.diag.frames,
                     }
                     self._send(200, "application/json", json.dumps(info).encode())
                 else:

@@ -116,3 +116,36 @@ class TestTurntable:
         # orbit frames differ
         f0, f2 = img[:, :64], img[:, 128:192]
         assert not np.allclose(f0, f2)
+
+
+class TestTraceDiagnostics:
+    """utils/trace.py — FPS EMA (FrameTimeDiagnostics analogue) + spans."""
+
+    def test_frame_diagnostics_ema(self):
+        import time as _t
+
+        from bevy_gaussian_splatting_tpu.utils.trace import FrameDiagnostics
+
+        d = FrameDiagnostics(smoothing=5)
+        assert d.tick() is None
+        for _ in range(6):
+            _t.sleep(0.002)
+            ema = d.tick()
+        assert ema is not None and 0.5 < ema < 100.0
+        assert d.fps and d.fps > 5.0
+        assert d.frames == 7
+
+    def test_stage_timer_spans(self):
+        import time as _t
+
+        from bevy_gaussian_splatting_tpu.utils.trace import StageTimer
+
+        t = StageTimer()
+        for _ in range(2):
+            with t.span("a"):
+                _t.sleep(0.001)
+        with t.span("b"):
+            pass
+        assert t.counts == {"a": 2, "b": 1}
+        assert t.totals_ms["a"] >= 2.0 * 0.9
+        assert "a=" in t.report() and "b=" in t.report()

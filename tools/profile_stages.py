@@ -407,6 +407,74 @@ def main():
 
             timeit(f"fwd+bwd pallas ({label})", fwd_bwd, cloud, jnp.float32(1e-7))
 
+    if only in ("", "train2"):
+        log("--- training backward decomposition (adaptive budget) ---")
+        from bevy_gaussian_splatting_tpu.ops.rasterize_tile import (
+            bin_gaussians as _bin,
+            pack_raster_params as _pack,
+            pair_count as _pc,
+            pairs_budget as _pb,
+            segment_sum_contiguous,
+            tile_budget as _tb,
+            tile_ranges as _tr,
+        )
+        from bevy_gaussian_splatting_tpu.ops.pallas.tile_bwd import (
+            pallas_composite_backward,
+        )
+        from bevy_gaussian_splatting_tpu.ops.pallas.tile_fwd import (
+            pallas_forward_raw,
+        )
+
+        total = int(jax.jit(
+            lambda c: _pc(c, camera, settings, width=width, height=height))(cloud))
+        budget = _pb(n, total)
+        num_tiles = (width // rt.TILE) * (height // rt.TILE)
+        k_max = _tb(n)
+
+        @jax.jit
+        def train_prestage(splats):
+            bins = _bin(splats, settings, width, height, budget, with_inverse=True)
+            g_s, tile_s, valid_s = bins[0], bins[1], bins[2]
+            params = _pack(splats, settings, width, height)
+            start, end = _tr(tile_s, num_tiles)
+            count = jnp.minimum(end - start, k_max)
+            params_sorted = jnp.where(valid_s[:, None], params[g_s], 0.0)
+            return params_sorted, start, count, bins[4], bins[5], bins[6], bins[7]
+
+        ps, start, count, inv_pair, gidx, offc, cntc = jax.block_until_ready(
+            train_prestage(splats)
+        )
+        timeit("train prestage (bin+inv+gather)", train_prestage, splats)
+
+        @jax.jit
+        def fwd_raw(ps, start, count):
+            return pallas_forward_raw(ps, start, count, settings, width, height)
+
+        out_raw = jax.block_until_ready(fwd_raw(ps, start, count))
+
+        g_out = jnp.ones_like(out_raw)
+
+        @jax.jit
+        def bwd_kernel(ps, start, count, out_raw, g_out):
+            g = g_out.reshape(num_tiles, 8, 256)
+            o = out_raw.reshape(num_tiles, 8, 256)
+            gbar = jnp.concatenate([g[:, :4, :], o[:, :3, :], o[:, 3:4, :]], axis=1)
+            return pallas_composite_backward(
+                ps, start, count, gbar, settings, width, height
+            )
+
+        dsorted = jax.block_until_ready(bwd_kernel(ps, start, count, out_raw, g_out))
+        timeit("bwd kernel alone", bwd_kernel, ps, start, count, out_raw, g_out)
+
+        @jax.jit
+        def reduction(dsorted, inv_pair, gidx, offc, cntc):
+            dslot = dsorted[inv_pair]
+            return segment_sum_contiguous(dslot, gidx, offc, cntc,
+                                          max_segment=num_tiles)
+
+        timeit("pair->gaussian reduction", reduction, dsorted, inv_pair, gidx,
+               offc, cntc)
+
     log("done")
     return 0
 
