@@ -210,8 +210,13 @@ def _backward_kernel(
             dparams_hbm.at[:, pl.ds(base, CHUNK)], merge_vmem, merge_sem
         ).start()
 
+    # dalpha needs sum_ch ghat_ch * S_after_ch; since ghat is per-PIXEL (lane
+    # independent) the three per-channel suffix scans collapse into ONE scan
+    # of q = sum_ch ghat_ch * c_ch * w, with Q_total = sum_ch ghat_ch * total_ch
+    q_total = sum(ghat_rgb[ch] * total_rgb[ch] for ch in range(3))  # [PIX, 1]
+
     def body(state):
-        c, trans, prefix0, prefix1, prefix2 = state
+        c, trans, q_prefix = state
 
         @pl.when(c + 1 < n_chunks)
         def _():
@@ -232,22 +237,18 @@ def _backward_kernel(
         w = alpha * T_i
 
         crgb = [chunk[ro + ch : ro + ch + 1, :] for ch in range(3)]
-        cw = [crgb[ch] * w for ch in range(3)]
 
         # dL/dc_i: reduce over pixels
         dc = [jnp.sum(w * ghat_rgb[ch], axis=0, keepdims=True) for ch in range(3)]
 
-        # suffix sums S_i per channel: total - prefix_before_chunk -
-        # chunk-local exclusive prefix - own term
+        # ghat-weighted color sum gc_i = sum_ch ghat_ch c_ch,i; q_i = gc_i w_i
+        gc = sum(ghat_rgb[ch] * crgb[ch] for ch in range(3))
+        q = gc * w
         inv_om = 1.0 / jnp.maximum(one_minus, 1e-6)
-        dalpha = jnp.zeros_like(alpha)
-        prefixes = [prefix0, prefix1, prefix2]
-        new_prefixes = []
-        for ch in range(3):
-            local_excl = _cumsum_lanes_exclusive(cw[ch])
-            S_after = total_rgb[ch] - prefixes[ch] - local_excl - cw[ch]
-            dalpha = dalpha + ghat_rgb[ch] * (crgb[ch] * T_i - S_after * inv_om)
-            new_prefixes.append(prefixes[ch] + jnp.sum(cw[ch], axis=1, keepdims=True))
+        local_excl = _cumsum_lanes_exclusive(q)
+        qS_after = q_total - q_prefix - local_excl - q  # sum_ch ghat_ch S_after
+        dalpha = gc * T_i - qS_after * inv_om
+        q_prefix = q_prefix + jnp.sum(q, axis=1, keepdims=True)
         dalpha = dalpha - ghat_T * t_fin * inv_om
         # cap + row masking zero the gradient exactly like the forward's min()
         dalpha = jnp.where(aux["capped"], 0.0, dalpha)
@@ -359,7 +360,7 @@ def _backward_kernel(
         out_dma.wait()
 
         trans = trans * cum[:, -1:]
-        return c + 1, trans, new_prefixes[0], new_prefixes[1], new_prefixes[2]
+        return c + 1, trans, q_prefix
 
     def cond(state):
         # Early exit once every pixel saturates: beyond that point T_i, w and
@@ -370,10 +371,9 @@ def _backward_kernel(
         c, trans, *_ = state
         return (c < n_chunks) & (jnp.max(trans) > TRANS_EPS)
 
-    zero_col = jnp.zeros((PIX, 1), jnp.float32)
     c_fin, *_ = jax.lax.while_loop(
         cond, body, (jnp.int32(0), jnp.ones((PIX, 1), jnp.float32),
-                     zero_col, zero_col, zero_col)
+                     jnp.zeros((PIX, 1), jnp.float32))
     )
 
     # drain the in-flight prefetch on early exit (same hazard as tile_fwd:
