@@ -37,8 +37,9 @@ the grid dimension "parallel".  The output is input-output-aliased with a
 zeros buffer so pair slots no tile covers (k_max-truncated tails, the
 sorted-invalid suffix) hold exact zero gradients.
 
-The chunk-local prefix needs an exclusive cumsum of c*w per channel (three
-more lane scans next to the forward's cumprod).
+Per chunk the blend math needs two lane scans: the forward's cumprod of
+(1 - a) and ONE exclusive cumsum of q = (sum_ch ghat_ch c_ch) w — the three
+per-channel suffix sums collapse because ghat is constant along lanes.
 """
 
 from __future__ import annotations
