@@ -93,7 +93,10 @@ def get_train_core(settings: CloudSettings, width: int, height: int,
     @jax.custom_vjp
     def core(params, g_s, valid_s, start, count, inv_pair, gidx, off_cloud,
              cnt_cloud):
-        params_sorted = jnp.where(valid_s[:, None], params[g_s], 0.0)
+        # no validity zeroing: tile ranges never cover the sorted sentinel
+        # suffix (kernel reads only covered ranges; uncovered backward rows
+        # are donated zeros and segments only span real slots)
+        params_sorted = params[g_s]
         return tile_fwd.pallas_forward_raw(
             params_sorted, start, count, settings, width, height,
             interpret=interpret,
@@ -101,7 +104,10 @@ def get_train_core(settings: CloudSettings, width: int, height: int,
 
     def core_fwd(params, g_s, valid_s, start, count, inv_pair, gidx, off_cloud,
                  cnt_cloud):
-        params_sorted = jnp.where(valid_s[:, None], params[g_s], 0.0)
+        # no validity zeroing: tile ranges never cover the sorted sentinel
+        # suffix (kernel reads only covered ranges; uncovered backward rows
+        # are donated zeros and segments only span real slots)
+        params_sorted = params[g_s]
         out_raw = tile_fwd.pallas_forward_raw(
             params_sorted, start, count, settings, width, height,
             interpret=interpret,

@@ -219,21 +219,26 @@ def segment_sum_contiguous(
 
     ``max_segment`` bounds the longest owner run (for pair expansion: the tile
     count — a splat can't own more pairs than there are tiles), halving the
-    scan passes vs log2(P)."""
+    scan passes vs log2(P).
+
+    The scan runs in the transposed [C, P] layout: with P in lanes every
+    (8, 128) vector tile is fully utilized, vs ~8% utilization for [P, C]
+    with small C (measured 2x+ end-to-end on the training reduction)."""
     p, c = values.shape
-    flags = jnp.concatenate(
+    vT = values.T  # [C, P]
+    fT = jnp.concatenate(
         [jnp.ones((1,), bool), gidx[1:] != gidx[:-1]]
-    )[:, None]  # [P, 1] segment starts
+    )[None, :]  # [1, P] segment starts
     limit = min(p, max_segment) if max_segment else p
     shift = 1
     while shift < limit:
-        vsh = jnp.pad(values, ((shift, 0), (0, 0)))[:p]
-        fsh = jnp.pad(flags, ((shift, 0), (0, 0)), constant_values=True)[:p]
-        values = values + jnp.where(flags, 0.0, vsh)
-        flags = flags | fsh
+        vsh = jnp.pad(vT, ((0, 0), (shift, 0)))[:, :p]
+        fsh = jnp.pad(fT, ((0, 0), (shift, 0)), constant_values=True)[:, :p]
+        vT = vT + jnp.where(fT, 0.0, vsh)
+        fT = fT | fsh
         shift *= 2
     ends = jnp.clip(off_cloud + cnt_cloud - 1, 0, p - 1)
-    out = values[ends]
+    out = vT.T[ends]
     return jnp.where((cnt_cloud > 0)[:, None], out, 0.0)
 
 
@@ -350,16 +355,20 @@ def bin_gaussians(
     tile = jnp.where(valid, tile, tx_count * ty_count)  # sentinel tile sorts last
     g_orig = pg[:, 4]
 
-    # pairs are already depth-ordered within each tile -> stable 1-key sort
+    # pairs are already depth-ordered within each tile -> stable 1-key sort;
+    # validity needn't ride the sort: invalid pairs carry EXACTLY the sentinel
+    # tile id, so valid_s == (tile_s < sentinel)
+    sentinel = tx_count * ty_count
     if not with_inverse:
-        tile_s, g_s, valid_s = jax.lax.sort(
-            (tile.astype(jnp.int32), g_orig, valid), num_keys=1, is_stable=True
+        tile_s, g_s = jax.lax.sort(
+            (tile.astype(jnp.int32), g_orig), num_keys=1, is_stable=True
         )
-        return g_s, tile_s, valid_s, total
+        return g_s, tile_s, tile_s < sentinel, total
 
-    tile_s, g_s, valid_s, slot_s = jax.lax.sort(
-        (tile.astype(jnp.int32), g_orig, valid, slots), num_keys=1, is_stable=True
+    tile_s, g_s, slot_s = jax.lax.sort(
+        (tile.astype(jnp.int32), g_orig, slots), num_keys=1, is_stable=True
     )
+    valid_s = tile_s < sentinel
     # inverse of the pair sort: inv_pair[slot] = sorted position
     _, inv_pair = jax.lax.sort((slot_s, slots), num_keys=1)
     # depth-rank of each cloud index: inverse of the depth pre-sort perm
@@ -748,12 +757,14 @@ def render_tiled(
             return composite_epilogue(out_raw, background, width, height)
 
         # forward-only serving path: the kernel handles unaligned tile starts
-        # directly, so the pair-sorted buffer is used as-is after one gather
+        # directly, so the pair-sorted buffer is used as-is after one gather.
+        # No validity zeroing needed: tile ranges never cover the sorted
+        # sentinel suffix, so the kernel never reads those rows.
         from bevy_gaussian_splatting_tpu.ops.pallas.tile_fwd import (
             pallas_composite_tiles,
         )
 
-        params_sorted = jnp.where(valid_s[:, None], params[g_s], 0.0)
+        params_sorted = params[g_s]
         return pallas_composite_tiles(
             params_sorted, start, count, settings, width, height,
             background=background, interpret=interpret,

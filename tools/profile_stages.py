@@ -438,7 +438,7 @@ def main():
             params = _pack(splats, settings, width, height)
             start, end = _tr(tile_s, num_tiles)
             count = jnp.minimum(end - start, k_max)
-            params_sorted = jnp.where(valid_s[:, None], params[g_s], 0.0)
+            params_sorted = params[g_s]
             return params_sorted, start, count, bins[4], bins[5], bins[6], bins[7]
 
         ps, start, count, inv_pair, gidx, offc, cntc = jax.block_until_ready(
@@ -474,6 +474,42 @@ def main():
 
         timeit("pair->gaussian reduction", reduction, dsorted, inv_pair, gidx,
                offc, cntc)
+
+        @jax.jit
+        def red_gather(dsorted, inv_pair):
+            return dsorted[inv_pair]
+
+        dslot = jax.block_until_ready(red_gather(dsorted, inv_pair))
+        timeit("  dslot gather alone", red_gather, dsorted, inv_pair)
+
+        @jax.jit
+        def red_scan(dslot, gidx):
+            p, c = dslot.shape
+            vT = dslot.T
+            fT = jnp.concatenate(
+                [jnp.ones((1,), bool), gidx[1:] != gidx[:-1]]
+            )[None, :]
+            shift = 1
+            while shift < num_tiles:
+                vsh = jnp.pad(vT, ((0, 0), (shift, 0)))[:, :p]
+                fsh = jnp.pad(fT, ((0, 0), (shift, 0)), constant_values=True)[:, :p]
+                vT = vT + jnp.where(fT, 0.0, vsh)
+                fT = fT | fsh
+                shift *= 2
+            return vT
+
+        vT = jax.block_until_ready(red_scan(dslot, gidx))
+        timeit("  segmented scan alone", red_scan, dslot, gidx)
+
+        @jax.jit
+        def red_ends(vT, offc, cntc):
+            p = vT.shape[1]
+            ends = jnp.clip(offc + cntc - 1, 0, p - 1)
+            out = vT.T[ends]
+            return jnp.where((cntc > 0)[:, None], out, 0.0)
+
+        jax.block_until_ready(red_ends(vT, offc, cntc))
+        timeit("  ends gather alone", red_ends, vT, offc, cntc)
 
     log("done")
     return 0
