@@ -123,15 +123,18 @@ def get_train_core(settings: CloudSettings, width: int, height: int,
         o = out_raw.reshape(num_tiles, 8, tile_fwd.PIX)
         # rows 0-2: ghat_rgb; row 3: ghat_T; rows 4-6: total rgb; row 7: T_fin
         gbar = jnp.concatenate([g[:, :4, :], o[:, :3, :], o[:, 3:4, :]], axis=1)
+        # full kernel width (16/24 cols): 64-byte-multiple rows keep the
+        # inv_pair reorder at the fast row-gather rate; the zero pad columns
+        # ride the scan for free and are dropped at the end
         dsorted = tile_bwd.pallas_composite_backward(
             params_sorted, start, count, gbar, settings, width, height,
-            interpret=interpret,
+            interpret=interpret, full_width=True,
         )
         # sorted pair order -> pre-sort slot order (contiguous per gaussian)
         dslot = dsorted[inv_pair]
         dparams = rt.segment_sum_contiguous(
             dslot, gidx, off_cloud, cnt_cloud, max_segment=num_tiles
-        )
+        )[:, : params_sorted.shape[1]]
         f0 = jax.dtypes.float0
 
         def nil(a):

@@ -339,21 +339,24 @@ def bin_gaussians(
     total = cum[-1]
     offsets = cum - counts  # exclusive
 
-    # slot -> depth-ranked gaussian via scatter + cummax
     starts = jnp.where(counts > 0, offsets, p_max)  # empty segments dropped
-    gidx = slot_owner_scan(starts, jnp.arange(n, dtype=jnp.int32), p_max)
     slots = jnp.arange(p_max, dtype=jnp.int32)
     valid = slots < total
 
-    # pack the per-gaussian fields consumed per slot into one gather
+    # slot -> depth-ranked gaussian via scatter + cummax, then ONE packed
+    # row gather for the per-slot fields.  (A scatter+fill-forward-scan
+    # variant that avoids this gather was measured SLOWER: XLA scatter cost
+    # scales per element, so scattering 4-column mark rows costs ~4x the
+    # 1-column owner scatter — more than the gather it saves.)
+    gidx = slot_owner_scan(starts, jnp.arange(n, dtype=jnp.int32), p_max)
     packed = jnp.stack([offsets, rect_wp, tx0p, ty0p, perm], axis=1)  # [n, 5]
     pg = packed[gidx]  # [p_max, 5]
     k = slots - pg[:, 0]
     tile_x = pg[:, 2] + k % pg[:, 1]
     tile_y = pg[:, 3] + k // pg[:, 1]
+    g_orig = pg[:, 4]
     tile = tile_y * tx_count + tile_x
     tile = jnp.where(valid, tile, tx_count * ty_count)  # sentinel tile sorts last
-    g_orig = pg[:, 4]
 
     # pairs are already depth-ordered within each tile -> stable 1-key sort;
     # validity needn't ride the sort: invalid pairs carry EXACTLY the sentinel

@@ -460,17 +460,19 @@ def main():
             o = out_raw.reshape(num_tiles, 8, 256)
             gbar = jnp.concatenate([g[:, :4, :], o[:, :3, :], o[:, 3:4, :]], axis=1)
             return pallas_composite_backward(
-                ps, start, count, gbar, settings, width, height
+                ps, start, count, gbar, settings, width, height,
+                full_width=True,
             )
 
         dsorted = jax.block_until_ready(bwd_kernel(ps, start, count, out_raw, g_out))
-        timeit("bwd kernel alone", bwd_kernel, ps, start, count, out_raw, g_out)
+        timeit("bwd kernel alone (full width)", bwd_kernel, ps, start, count,
+               out_raw, g_out)
 
         @jax.jit
         def reduction(dsorted, inv_pair, gidx, offc, cntc):
             dslot = dsorted[inv_pair]
             return segment_sum_contiguous(dslot, gidx, offc, cntc,
-                                          max_segment=num_tiles)
+                                          max_segment=num_tiles)[:, :10]
 
         timeit("pair->gaussian reduction", reduction, dsorted, inv_pair, gidx,
                offc, cntc)
