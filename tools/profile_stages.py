@@ -407,6 +407,153 @@ def main():
 
             timeit(f"fwd+bwd pallas ({label})", fwd_bwd, cloud, jnp.float32(1e-7))
 
+    if only in ("train3",):
+        # In-jit ablation of the training step: replace pieces of the
+        # custom-VJP backward with cheap stand-ins INSIDE the full jit, so
+        # each delta reflects fused in-graph cost (stage-level timings across
+        # jit boundaries were shown to mislead: layout/materialization
+        # artifacts at the boundary).
+        import dataclasses as _dc
+
+        from bevy_gaussian_splatting_tpu.ops.rasterize_tile import (
+            bin_gaussians as _bin,
+            make_tiled_pipeline,
+            pack_raster_params as _pack,
+            pair_count as _pc,
+            pairs_budget as _pb,
+            segment_sum_contiguous,
+            tile_budget as _tb,
+            tile_ranges as _tr,
+        )
+        from bevy_gaussian_splatting_tpu.ops.pallas import tile_bwd, tile_fwd
+        from bevy_gaussian_splatting_tpu.ops.pallas.tile_fwd import (
+            composite_epilogue,
+            pallas_forward_raw,
+        )
+
+        total = int(jax.jit(
+            lambda c: _pc(c, camera, settings, width=width, height=height))(cloud))
+        budget = _pb(n, total)
+        num_tiles = (width // rt.TILE) * (height // rt.TILE)
+        k_max = _tb(n)
+        log(f"budget {budget}")
+
+        fwd_pipe = make_tiled_pipeline(
+            settings, width, height, differentiable=False,
+            compositor="pallas", pairs_max=budget,
+        )
+        target = fwd_pipe(cloud, camera, jnp.eye(4), bg, jnp.float32(0.0))
+        interp = jax.default_backend() != "tpu"
+
+        def make_step(bwd_variant: str):
+            @jax.custom_vjp
+            def core(params, g_s, valid_s, start, count, inv_pair, gidx,
+                     off_cloud, cnt_cloud):
+                params_sorted = params[g_s]
+                return pallas_forward_raw(
+                    params_sorted, start, count, settings, width, height,
+                    interpret=interp)
+
+            def core_fwd(params, g_s, valid_s, start, count, inv_pair, gidx,
+                         off_cloud, cnt_cloud):
+                params_sorted = params[g_s]
+                out_raw = pallas_forward_raw(
+                    params_sorted, start, count, settings, width, height,
+                    interpret=interp)
+                return out_raw, (params_sorted, start, count, out_raw,
+                                 inv_pair, gidx, off_cloud, cnt_cloud)
+
+            def core_bwd(res, g_out):
+                (params_sorted, start, count, out_raw, inv_pair, gidx,
+                 off_cloud, cnt_cloud) = res
+                c_par = params_sorted.shape[1]
+                g = g_out.reshape(num_tiles, 8, 256)
+                o = out_raw.reshape(num_tiles, 8, 256)
+                gbar = jnp.concatenate(
+                    [g[:, :4, :], o[:, :3, :], o[:, 3:4, :]], axis=1)
+                if bwd_variant == "full":
+                    dsorted = tile_bwd.pallas_composite_backward(
+                        params_sorted, start, count, gbar, settings, width,
+                        height, interpret=interp, full_width=True)
+                elif bwd_variant in ("nokernel", "nothing"):
+                    # data-dependent stand-in (not constant-foldable)
+                    pw = tile_fwd.param_width(tile_fwd.kernel_mode(settings))
+                    dsorted = jnp.pad(
+                        params_sorted * (1e-9 * gbar[0, 0, 0]),
+                        ((0, 0), (0, pw - c_par)))
+                if bwd_variant == "nothing":
+                    dparams = dsorted[:off_cloud.shape[0], :c_par] * 1.0
+                else:
+                    dslot = dsorted[inv_pair]
+                    dparams = segment_sum_contiguous(
+                        dslot, gidx, off_cloud, cnt_cloud,
+                        max_segment=num_tiles)[:, :c_par]
+                f0 = jax.dtypes.float0
+
+                def nil(a):
+                    return np.zeros(a.shape, dtype=f0)
+
+                return (dparams, nil(inv_pair), nil(inv_pair), nil(start),
+                        nil(count), nil(inv_pair), nil(gidx), nil(off_cloud),
+                        nil(cnt_cloud))
+
+            core.defvjp(core_fwd, core_bwd)
+
+            @jax.jit
+            def fwd_bwd(c, t):
+                def loss(c):
+                    clip_from_world = (
+                        camera.clip_from_view @ camera.view_from_world)
+                    back_key = sort_ops.radix_depth_key(
+                        c.position, jnp.eye(4), clip_from_world,
+                        camera.world_position,
+                        settings.radix_sort_depth_bits.bits)
+                    perm = rt.front_depth_perm(back_key)
+                    from bevy_gaussian_splatting_tpu.ops.transforms import (
+                        apply_transform,
+                    )
+
+                    wp = apply_transform(jnp.eye(4), c.position)
+                    max_d = jnp.linalg.norm(
+                        wp[perm[n - 2]] - camera.world_position)
+                    min_d = jnp.linalg.norm(
+                        wp[perm[0]] - camera.world_position)
+                    splats = project_gaussians(
+                        c, camera, settings, jnp.eye(4),
+                        depth_minmax=(min_d, max_d), time=t)
+                    splats["sort_key"] = back_key
+                    splats["mask"] = splats["mask"] & (
+                        back_key != sort_ops.SENTINEL_KEY)
+                    bins = _bin(splats, settings, width, height, budget,
+                                with_inverse=True, perm=perm)
+                    g_s, tile_s, valid_s = bins[0], bins[1], bins[2]
+                    params = _pack(splats, settings, width, height)
+                    start, end = _tr(tile_s, num_tiles)
+                    count = jnp.minimum(end - start, k_max)
+                    out_raw = core(params, g_s, valid_s, start, count,
+                                   bins[4], bins[5], bins[6], bins[7])
+                    img = composite_epilogue(out_raw, bg, width, height)
+                    return jnp.mean((img - target) ** 2)
+
+                return jax.value_and_grad(loss)(c)
+
+            return fwd_bwd
+
+        @jax.jit
+        def fwd_value_only(c, t):
+            img = rt.render_tiled(
+                c, camera, settings, None, bg, t,
+                width=width, height=height, differentiable=True,
+                compositor="pallas", pairs_max=budget,
+            )
+            return jnp.mean((img - target) ** 2)
+
+        timeit("fwd (diff pipeline, value only)", fwd_value_only, cloud,
+               jnp.float32(1e-7))
+        for variant in ("nothing", "nokernel", "full"):
+            fn = make_step(variant)
+            timeit(f"fwd+bwd [{variant}]", fn, cloud, jnp.float32(1e-7))
+
     if only in ("", "train2"):
         log("--- training backward decomposition (adaptive budget) ---")
         from bevy_gaussian_splatting_tpu.ops.rasterize_tile import (
