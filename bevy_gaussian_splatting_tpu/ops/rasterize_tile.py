@@ -242,17 +242,46 @@ def segment_sum_contiguous(
     return jnp.where((cnt_cloud > 0)[:, None], out, 0.0)
 
 
-def front_depth_perm(back_key: jnp.ndarray) -> jnp.ndarray:
+def front_depth_perm(back_key: jnp.ndarray, active=None) -> jnp.ndarray:
     """Front-to-back permutation: exact reverse of the reference's stable
     back-to-front radix order (key ascending, index ascending), realized
-    directly as (complemented key ascending, reversed index ascending)."""
+    directly as (complemented key ascending, reversed index ascending).
+
+    ``active``: optionally compact ALL zero-pair gaussians to the front by
+    zeroing their front key (sentinel-culled gaussians land there already:
+    their back key is 0xFFFFFFFF, so their front key is 0).  Actives stay in
+    exact relative depth order, so the born pair sequence is unchanged; the
+    active suffix is then contiguous, which the Pallas expansion kernel
+    requires (owner advances <= 1 per slot)."""
     n = back_key.shape[0]
     front_key = jnp.uint32(0xFFFFFFFF) - back_key
+    if active is not None:
+        front_key = jnp.where(active, front_key, jnp.uint32(0))
     rev_idx = jnp.uint32(n - 1) - jnp.arange(n, dtype=jnp.uint32)
     _, _, perm = jax.lax.sort(
         (front_key, rev_idx, jnp.arange(n, dtype=jnp.int32)), num_keys=2
     )
     return perm
+
+
+def back_sorted_entry_indices(back_key: jnp.ndarray):
+    """Cloud indices of back-to-front sorted entries ``min(1, n-1)`` and
+    ``n-1`` (the reference's depth min/max quirk reads exactly these,
+    gaussian.wgsl:329-347) — via min/max reductions instead of a full sort.
+    Back order is (key ascending, index ascending), sentinels included."""
+    n = back_key.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    kmax = jnp.max(back_key)
+    last = jnp.max(jnp.where(back_key == kmax, idx, -1))
+    if n == 1:
+        return jnp.int32(0), last
+    kmin = jnp.min(back_key)
+    i0 = jnp.min(jnp.where(back_key == kmin, idx, n))
+    is_first = (back_key == kmin) & (idx == i0)
+    key2 = jnp.where(is_first, jnp.uint32(0xFFFFFFFF), back_key)
+    kmin2 = jnp.min(key2)
+    first = jnp.min(jnp.where((key2 == kmin2) & ~is_first, idx, n))
+    return first, last
 
 
 def bin_gaussians(
@@ -265,6 +294,8 @@ def bin_gaussians(
     tile_row0=None,
     band_tile_rows: Optional[int] = None,
     perm: Optional[jnp.ndarray] = None,
+    expand: str = "xla",
+    interpret: bool = False,
 ):
     """Build sorted (tile, pair) assignment with static shapes.
 
@@ -319,9 +350,15 @@ def bin_gaussians(
     # ---- depth pre-sort of gaussians (front-to-back + painter tie) ----------
     # front order = exact reverse of the reference back-to-front radix order:
     # complement of the (possibly shifted) radix key (src/sort/radix.wgsl:88-99)
-    # with ties broken by DESCENDING cloud index (stable painter reversed)
+    # with ties broken by DESCENDING cloud index (stable painter reversed).
+    # Inactive gaussians are compacted to the front (identical pair output;
+    # see front_depth_perm) — the Pallas expansion requires it.
     if perm is None:
-        perm = front_depth_perm(splats["sort_key"])
+        perm = front_depth_perm(splats["sort_key"], active=active)
+    elif expand == "pallas":
+        raise ValueError(
+            "pallas expansion needs the internally built compacting perm"
+        )
 
     # ONE wide gather by perm (row gathers cost ~7 ns/row regardless of
     # width, so five 1D gathers would cost 5x this)
@@ -339,23 +376,66 @@ def bin_gaussians(
     total = cum[-1]
     offsets = cum - counts  # exclusive
 
-    starts = jnp.where(counts > 0, offsets, p_max)  # empty segments dropped
     slots = jnp.arange(p_max, dtype=jnp.int32)
     valid = slots < total
 
-    # slot -> depth-ranked gaussian via scatter + cummax, then ONE packed
-    # row gather for the per-slot fields.  (A scatter+fill-forward-scan
-    # variant that avoids this gather was measured SLOWER: XLA scatter cost
-    # scales per element, so scattering 4-column mark rows costs ~4x the
-    # 1-column owner scatter — more than the gather it saves.)
-    gidx = slot_owner_scan(starts, jnp.arange(n, dtype=jnp.int32), p_max)
-    packed = jnp.stack([offsets, rect_wp, tx0p, ty0p, perm], axis=1)  # [n, 5]
-    pg = packed[gidx]  # [p_max, 5]
-    k = slots - pg[:, 0]
-    tile_x = pg[:, 2] + k % pg[:, 1]
-    tile_y = pg[:, 3] + k // pg[:, 1]
-    g_orig = pg[:, 4]
-    tile = tile_y * tx_count + tile_x
+    if expand == "pallas":
+        # windowed-table expansion kernel (ops/pallas/expand.py): replaces
+        # the scatter-max + blocked cummax + P-row packed gather below with
+        # small per-chunk DMAs and an MXU one-hot gather.  Valid because the
+        # compacting perm makes the active (count > 0) gaussians contiguous.
+        from bevy_gaussian_splatting_tpu.ops.pallas.expand import (
+            CHUNK as EXP_CHUNK,
+            CUM_PAD,
+            WIN,
+            pallas_expand_pairs,
+        )
+
+        num_chunks = (p_max + EXP_CHUNK - 1) // EXP_CHUNK
+        # f32 table: cum is clipped to 2^24 so stored values stay
+        # integer-exact (comparisons only matter below p_max < 2^24); all
+        # matmul-gathered columns hold bytes (the MXU casts to bf16)
+        clipf = float(1 << 24)
+        cumf = jnp.minimum(cum.astype(jnp.float32), clipf)
+        table = jnp.stack(
+            [
+                cumf,
+                rect_wp.astype(jnp.float32),
+                tx0p.astype(jnp.float32),
+                ty0p.astype(jnp.float32),
+                (perm & 0xFF).astype(jnp.float32),
+                ((perm >> 8) & 0xFF).astype(jnp.float32),
+                ((perm >> 16) & 0xFF).astype(jnp.float32),
+                jnp.zeros((n,), jnp.float32),
+            ],
+            axis=0,
+        )  # [8, n] gaussians in lanes
+        pad = jnp.zeros((8, WIN), jnp.float32).at[0, :].set(CUM_PAD)
+        table = jnp.concatenate([table, pad], axis=1)
+        chunk_starts = jnp.arange(num_chunks, dtype=jnp.int32) * EXP_CHUNK
+        g0s = jnp.searchsorted(cum, chunk_starts, side="right").astype(
+            jnp.int32
+        )
+        tile, g_orig, gidx = pallas_expand_pairs(
+            table, g0s, p_max, tx_count, interpret=interpret
+        )
+    else:
+        # slot -> depth-ranked gaussian via scatter + cummax, then ONE packed
+        # row gather for the per-slot fields.  (A scatter+fill-forward-scan
+        # variant that avoids this gather was measured SLOWER: XLA scatter
+        # cost scales per element, so scattering 4-column mark rows costs
+        # ~4x the 1-column owner scatter — more than the gather it saves.)
+        starts = jnp.where(counts > 0, offsets, p_max)  # empty segs dropped
+        gidx = slot_owner_scan(starts, jnp.arange(n, dtype=jnp.int32), p_max)
+        packed = jnp.stack(
+            [offsets, rect_wp, tx0p, ty0p, perm], axis=1
+        )  # [n, 5]
+        pg = packed[gidx]  # [p_max, 5]
+        k = slots - pg[:, 0]
+        tile_x = pg[:, 2] + k % pg[:, 1]
+        tile_y = pg[:, 3] + k // pg[:, 1]
+        g_orig = pg[:, 4]
+        tile = tile_y * tx_count + tile_x
     tile = jnp.where(valid, tile, tx_count * ty_count)  # sentinel tile sorts last
 
     # pairs are already depth-ordered within each tile -> stable 1-key sort;
@@ -689,22 +769,19 @@ def render_tiled(
     n = len(cloud)
     clip_from_world = camera.clip_from_view @ camera.view_from_world
 
-    # ONE N-element sort serves both consumers: the binning depth pre-sort
-    # (front-to-back) and the depth-mode min/max quirk (back-to-front entries
-    # 1 and n-1, gaussian.wgsl:329-347) — the front order is the exact
-    # reverse of the reference's stable back-to-front radix order, so
-    # back[j] == front[n-1-j].
+    # Depth-mode min/max quirk (back-to-front entries 1 and n-1,
+    # gaussian.wgsl:329-347) via min/max reductions — no sort needed; the
+    # binning depth pre-sort happens inside bin_gaussians (with inactive
+    # gaussians compacted, which reductions here must NOT see).
     back_key = sort_ops.radix_depth_key(
         cloud.position, model_transform, clip_from_world, camera.world_position,
         settings.radix_sort_depth_bits.bits,
     )
-    perm = front_depth_perm(back_key)
 
     from bevy_gaussian_splatting_tpu.ops.transforms import apply_transform
 
     wp = apply_transform(model_transform, cloud.position)
-    first_idx = perm[n - 1 - min(1, n - 1)]  # back entry min(1, n-1)
-    last_idx = perm[0]  # back entry n-1 (nearest)
+    first_idx, last_idx = back_sorted_entry_indices(back_key)
     max_d = jnp.linalg.norm(wp[first_idx] - camera.world_position)
     min_d = jnp.linalg.norm(wp[last_idx] - camera.world_position)
 
@@ -725,19 +802,20 @@ def render_tiled(
         # training falls back to XLA AD (identical math, debug-only feature)
         compositor = "xla"
 
+    import jax as _jax
+
+    interpret = _jax.default_backend() != "tpu"
     train_pallas = compositor == "pallas" and differentiable
     bins = bin_gaussians(
         splats, settings, width, height, p_max, with_inverse=train_pallas,
-        perm=perm,
+        expand="pallas" if compositor == "pallas" else "xla",
+        interpret=interpret,
     )
     g_s, tile_s, valid_s = bins[0], bins[1], bins[2]
     params = pack_raster_params(splats, settings, width, height)
     start, end = tile_ranges(tile_s, (width // TILE) * (height // TILE))
 
     if compositor == "pallas":
-        import jax as _jax
-
-        interpret = _jax.default_backend() != "tpu"
         count = jnp.minimum(end - start, k_max)
         if train_pallas:
             # custom-VJP training core: gather + forward kernel forward;

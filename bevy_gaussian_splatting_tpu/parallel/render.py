@@ -145,10 +145,15 @@ def _local_band_render(
     k_max = tile_budget(n_total)
     band_rows = band_h // TILE
     use_pallas = compositor == "pallas" and settings.gaussian_mode.value != "gaussian_2d"
+    import jax as _jax
+
+    interpret = _jax.default_backend() != "tpu"
     bins = bin_gaussians(
         g_splats, settings, width, height, p_max,
         tile_row0=band * band_rows, band_tile_rows=band_rows,
         with_inverse=use_pallas,
+        expand="pallas" if use_pallas else "xla",
+        interpret=interpret,
     )
     g_s, tile_s, valid_s = bins[0], bins[1], bins[2]
 
@@ -179,7 +184,6 @@ def _local_band_render(
         params_band = params_full.at[:, 1].set(cy_band * band_h)
         count = jnp.minimum(end - start, k_max)
         _, _, _, _, inv_pair, gidx, off_cloud, cnt_cloud = bins
-        interpret = _jax.default_backend() != "tpu"
         core = get_train_core(settings, width, band_h, interpret, k_max)
         out_raw = core(
             params_band, g_s, valid_s, start, count, inv_pair, gidx,

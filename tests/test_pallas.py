@@ -138,3 +138,71 @@ class TestPallasBackward:
         a, b = _np(ga.position_visibility), _np(gb.position_visibility)
         scale = np.abs(a).max() + 1e-12
         np.testing.assert_allclose(b, a, atol=3e-3 * scale)
+
+
+class TestPallasExpansion:
+    """Direct parity of the Pallas pair-expansion kernel vs the XLA path."""
+
+    def _compare(self, cloud, p_max, settings=None, width=128, height=128):
+        from bevy_gaussian_splatting_tpu.ops import sort as sort_ops
+        from bevy_gaussian_splatting_tpu.ops.project import project_gaussians
+        from bevy_gaussian_splatting_tpu.ops.rasterize_tile import bin_gaussians
+
+        settings = settings or bgs.CloudSettings()
+        cam = CAM
+        mt = jnp.eye(4, dtype=jnp.float32)
+        clip_from_world = cam.clip_from_view @ cam.view_from_world
+        splats = project_gaussians(cloud, cam, settings, mt)
+        back_key = sort_ops.radix_depth_key(
+            cloud.position, mt, clip_from_world, cam.world_position,
+            settings.radix_sort_depth_bits.bits,
+        )
+        splats["sort_key"] = back_key
+        splats["mask"] = splats["mask"] & (back_key != sort_ops.SENTINEL_KEY)
+
+        ref = bin_gaussians(
+            splats, settings, width, height, p_max, with_inverse=True,
+            expand="xla",
+        )
+        got = bin_gaussians(
+            splats, settings, width, height, p_max, with_inverse=True,
+            expand="pallas", interpret=True,
+        )
+        # (g_s, tile_s, valid_s, total, inv_pair, gidx, off, cnt)
+        assert int(ref[3]) == int(got[3])
+        nv = int(np.minimum(int(ref[3]), p_max))
+        for i, name in ((0, "g_s"), (1, "tile_s"), (2, "valid_s")):
+            np.testing.assert_array_equal(
+                _np(ref[i])[:nv], _np(got[i])[:nv], err_msg=name
+            )
+        # training artifacts: offsets/counts in cloud order must agree
+        np.testing.assert_array_equal(_np(ref[6]), _np(got[6]))
+        np.testing.assert_array_equal(_np(ref[7]), _np(got[7]))
+
+    def test_parity_basic(self):
+        self._compare(CLOUD, p_max=1 << 13)
+
+    def test_parity_overflow_truncation(self):
+        # budget far below the real pair count: farthest pairs truncated
+        self._compare(CLOUD, p_max=512)
+
+    def test_parity_unaligned_budget(self):
+        self._compare(CLOUD, p_max=1000)
+
+    def test_all_inactive(self):
+        import dataclasses as dc
+
+        cloud = dc.replace(
+            CLOUD,
+            position_visibility=CLOUD.position_visibility
+            * jnp.array([1.0, 1.0, 1.0, 0.0]),
+        )
+        self._compare(cloud, p_max=1 << 12)
+
+    def test_mixed_offscreen(self):
+        import dataclasses as dc
+
+        pv = np.asarray(CLOUD.position_visibility).copy()
+        pv[::3, 0] += 1e4  # every third gaussian far off screen
+        cloud = dc.replace(CLOUD, position_visibility=jnp.asarray(pv))
+        self._compare(cloud, p_max=1 << 13)
