@@ -66,6 +66,86 @@ def get_composite_core(settings: CloudSettings, width: int, height: int, interpr
     return core
 
 
+_WINDOWED_CORE_CACHE: dict = {}
+
+
+def get_train_core_windowed(settings: CloudSettings, width: int, height: int,
+                            interpret: bool, k_max: int):
+    """custom_vjp training core for the pallas-expansion pipeline:
+
+      fwd: params_sorted = params[g_s]; forward kernel -> out_raw
+      bwd: backward kernel -> per-pair grads (sorted layout) -> one gather to
+           pre-sort slot order -> windowed segmented-sum kernel
+           (ops/pallas/reduce.py) -> per-RANK grads -> one N-row gather by
+           the inverse permutation -> per-gaussian grads in cloud order.
+
+    Replaces get_train_core's lane-major segmented scan + ends/offsets
+    gathers with the reduction kernel; index/table args are non-diff
+    byproducts of binning (expand='pallas')."""
+    key = (settings.static_key(), width, height, interpret, k_max)
+    fn = _WINDOWED_CORE_CACHE.get(key)
+    if fn is not None:
+        return fn
+
+    from bevy_gaussian_splatting_tpu.ops.pallas.reduce import (
+        pallas_segment_reduce,
+    )
+
+    num_tiles = (width // tile_fwd.TILE) * (height // tile_fwd.TILE)
+
+    @jax.custom_vjp
+    def core(params, g_s, valid_s, start, count, inv_pair, table, g0s, rank):
+        params_sorted = params[g_s]
+        return tile_fwd.pallas_forward_raw(
+            params_sorted, start, count, settings, width, height,
+            interpret=interpret,
+        )
+
+    def core_fwd(params, g_s, valid_s, start, count, inv_pair, table, g0s,
+                 rank):
+        params_sorted = params[g_s]
+        out_raw = tile_fwd.pallas_forward_raw(
+            params_sorted, start, count, settings, width, height,
+            interpret=interpret,
+        )
+        res = (params_sorted, start, count, out_raw, inv_pair, table, g0s,
+               rank)
+        return out_raw, res
+
+    def core_bwd(res, g_out):
+        (params_sorted, start, count, out_raw, inv_pair, table, g0s,
+         rank) = res
+        n = rank.shape[0]
+        c_par = params_sorted.shape[1]
+        g = g_out.reshape(num_tiles, 8, tile_fwd.PIX)
+        o = out_raw.reshape(num_tiles, 8, tile_fwd.PIX)
+        gbar = jnp.concatenate([g[:, :4, :], o[:, :3, :], o[:, 3:4, :]],
+                               axis=1)
+        dsorted = tile_bwd.pallas_composite_backward(
+            params_sorted, start, count, gbar, settings, width, height,
+            interpret=interpret, full_width=True,
+        )
+        # sorted pair order -> pre-sort slot order (contiguous per gaussian)
+        dslot_t = dsorted[inv_pair].T
+        drank = pallas_segment_reduce(dslot_t, table, g0s, n,
+                                      interpret=interpret)
+        dparams = drank.T[rank][:, :c_par]
+        f0 = jax.dtypes.float0
+
+        def nil(a):
+            return np.zeros(a.shape, dtype=f0)
+
+        # table is f32 (its cotangent must be a real zero array, not float0);
+        # it is int-derived and unused upstream, so XLA DCEs it
+        return (dparams, nil(inv_pair), nil(inv_pair), nil(start),
+                nil(count), nil(inv_pair), jnp.zeros_like(table), nil(g0s),
+                nil(rank))
+
+    core.defvjp(core_fwd, core_bwd)
+    _WINDOWED_CORE_CACHE[key] = core
+    return core
+
+
 _TRAIN_CORE_CACHE: dict = {}
 
 

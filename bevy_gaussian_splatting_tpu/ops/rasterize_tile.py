@@ -456,6 +456,11 @@ def bin_gaussians(
     _, inv_pair = jax.lax.sort((slot_s, slots), num_keys=1)
     # depth-rank of each cloud index: inverse of the depth pre-sort perm
     _, rank = jax.lax.sort((perm, jnp.arange(n, dtype=jnp.int32)), num_keys=1)
+    if expand == "pallas":
+        # windowed-reduction artifacts (ops/pallas/reduce.py): the expansion
+        # table + chunk owners drive the backward's segmented sum; rank maps
+        # the depth-ordered result back to cloud order
+        return g_s, tile_s, valid_s, total, inv_pair, table, g0s, rank
     oc = jnp.stack([offsets, counts], axis=1)[rank]  # one gather, not two
     return g_s, tile_s, valid_s, total, inv_pair, gidx, oc[:, 0], oc[:, 1]
 
@@ -823,17 +828,19 @@ def render_tiled(
             # backward (ops/pallas/core.py).  Both kernels handle unaligned
             # tile starts (DMA base align-down + prefix mask/merge).
             from bevy_gaussian_splatting_tpu.ops.pallas.core import (
-                get_train_core,
+                get_train_core_windowed,
             )
             from bevy_gaussian_splatting_tpu.ops.pallas.tile_fwd import (
                 composite_epilogue,
             )
 
-            _, _, _, _, inv_pair, gidx, off_cloud, cnt_cloud = bins
-            core = get_train_core(settings, width, height, interpret, k_max)
+            _, _, _, _, inv_pair, table, g0s, rank = bins
+            core = get_train_core_windowed(
+                settings, width, height, interpret, k_max
+            )
             out_raw = core(
-                params, g_s, valid_s, start, count, inv_pair, gidx,
-                off_cloud, cnt_cloud,
+                params, g_s, valid_s, start, count, inv_pair, table, g0s,
+                rank,
             )
             return composite_epilogue(out_raw, background, width, height)
 

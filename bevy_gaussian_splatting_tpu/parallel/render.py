@@ -165,7 +165,9 @@ def _local_band_render(
     if use_pallas:
         import jax as _jax
 
-        from bevy_gaussian_splatting_tpu.ops.pallas.core import get_train_core
+        from bevy_gaussian_splatting_tpu.ops.pallas.core import (
+            get_train_core_windowed,
+        )
         from bevy_gaussian_splatting_tpu.ops.pallas.tile_fwd import (
             composite_epilogue,
         )
@@ -183,11 +185,13 @@ def _local_band_render(
         )
         params_band = params_full.at[:, 1].set(cy_band * band_h)
         count = jnp.minimum(end - start, k_max)
-        _, _, _, _, inv_pair, gidx, off_cloud, cnt_cloud = bins
-        core = get_train_core(settings, width, band_h, interpret, k_max)
+        _, _, _, _, inv_pair, table, g0s, rank = bins
+        core = get_train_core_windowed(
+            settings, width, band_h, interpret, k_max
+        )
         out_raw = core(
-            params_band, g_s, valid_s, start, count, inv_pair, gidx,
-            off_cloud, cnt_cloud,
+            params_band, g_s, valid_s, start, count, inv_pair, table, g0s,
+            rank,
         )
         return composite_epilogue(out_raw, background, width, band_h)
 

@@ -168,16 +168,39 @@ class TestPallasExpansion:
             splats, settings, width, height, p_max, with_inverse=True,
             expand="pallas", interpret=True,
         )
-        # (g_s, tile_s, valid_s, total, inv_pair, gidx, off, cnt)
+        # xla: (g_s, tile_s, valid_s, total, inv_pair, gidx, off, cnt)
+        # pallas: (g_s, tile_s, valid_s, total, inv_pair, table, g0s, rank)
         assert int(ref[3]) == int(got[3])
         nv = int(np.minimum(int(ref[3]), p_max))
         for i, name in ((0, "g_s"), (1, "tile_s"), (2, "valid_s")):
             np.testing.assert_array_equal(
                 _np(ref[i])[:nv], _np(got[i])[:nv], err_msg=name
             )
-        # training artifacts: offsets/counts in cloud order must agree
-        np.testing.assert_array_equal(_np(ref[6]), _np(got[6]))
-        np.testing.assert_array_equal(_np(ref[7]), _np(got[7]))
+        np.testing.assert_array_equal(
+            _np(ref[4])[:nv], _np(got[4])[:nv], err_msg="inv_pair"
+        )
+        # pallas windowed-reduction artifacts vs the xla ground truth:
+        # summing one-hot rows through (table, g0s, rank) must reproduce the
+        # xla path's per-cloud pair counts
+        from bevy_gaussian_splatting_tpu.ops.pallas.reduce import (
+            pallas_segment_reduce,
+        )
+
+        n = _np(got[7]).shape[0]
+        # reduce slot-ordered indicator rows exactly like core_bwd reduces
+        # slot-ordered gradient rows: dslot = valid_sorted[inv_pair]
+        ones_slot = _np(got[2]).astype(np.float32)[_np(got[4])]
+        dslot_t = jnp.asarray(
+            np.broadcast_to(ones_slot, (8, len(ones_slot))).copy()
+        )
+        per_rank = pallas_segment_reduce(
+            dslot_t, got[5], got[6], n, interpret=True
+        )
+        per_cloud = np.asarray(per_rank.T[got[7]][:, 0]).astype(np.int64)
+        expected = np.bincount(
+            _np(got[0])[:nv].astype(np.int64), minlength=n
+        )
+        np.testing.assert_array_equal(per_cloud, expected, err_msg="cnt")
 
     def test_parity_basic(self):
         self._compare(CLOUD, p_max=1 << 13)
