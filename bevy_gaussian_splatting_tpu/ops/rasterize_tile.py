@@ -257,11 +257,15 @@ def front_depth_perm(back_key: jnp.ndarray, active=None) -> jnp.ndarray:
     front_key = jnp.uint32(0xFFFFFFFF) - back_key
     if active is not None:
         front_key = jnp.where(active, front_key, jnp.uint32(0))
-    rev_idx = jnp.uint32(n - 1) - jnp.arange(n, dtype=jnp.uint32)
-    _, _, perm = jax.lax.sort(
-        (front_key, rev_idx, jnp.arange(n, dtype=jnp.int32)), num_keys=2
+    # ties must break by DESCENDING original index (= ascending reversed
+    # index): stable-sort the REVERSED key array, then map positions back —
+    # one sort operand fewer than carrying an explicit rev_idx key
+    _, pos = jax.lax.sort(
+        (front_key[::-1], jnp.arange(n, dtype=jnp.int32)),
+        num_keys=1,
+        is_stable=True,
     )
-    return perm
+    return jnp.int32(n - 1) - pos
 
 
 def back_sorted_entry_indices(back_key: jnp.ndarray):
@@ -442,6 +446,10 @@ def bin_gaussians(
     # validity needn't ride the sort: invalid pairs carry EXACTLY the sentinel
     # tile id, so valid_s == (tile_s < sentinel)
     sentinel = tx_count * ty_count
+    # (Two rejected variants, measured on TPU: packing (tile, slot) into one
+    # u32 sort key was no faster than the stable multi-operand sort, and an
+    # in-expansion-kernel tile histogram -- meant to replace the searchsorted
+    # tile_ranges -- cost ~40 ms via its constant-index output block.)
     if not with_inverse:
         tile_s, g_s = jax.lax.sort(
             (tile.astype(jnp.int32), g_orig), num_keys=1, is_stable=True

@@ -548,11 +548,101 @@ def main():
             )
             return jnp.mean((img - target) ** 2)
 
+        @jax.jit
+        def fwd_bwd_leaf(c, t):
+            # grad w.r.t. the loss stopping at the packed params leaf:
+            # measures the full production step minus projection/pack AD
+            def upto_params(c):
+                clip_from_world = camera.clip_from_view @ camera.view_from_world
+                back_key = sort_ops.radix_depth_key(
+                    c.position, jnp.eye(4), clip_from_world,
+                    camera.world_position, settings.radix_sort_depth_bits.bits)
+                splats = project_gaussians(c, camera, settings, jnp.eye(4),
+                                           time=t)
+                splats["sort_key"] = back_key
+                splats["mask"] = splats["mask"] & (
+                    back_key != sort_ops.SENTINEL_KEY)
+                bins = _bin(splats, settings, width, height, budget,
+                            with_inverse=True, expand="pallas")
+                params = _pack(splats, settings, width, height)
+                return bins, params
+
+            bins, params = jax.lax.stop_gradient(upto_params(c))
+            g_s, tile_s, valid_s = bins[0], bins[1], bins[2]
+            start, end = _tr(tile_s, num_tiles)
+            count = jnp.minimum(end - start, k_max)
+            from bevy_gaussian_splatting_tpu.ops.pallas.core import (
+                get_train_core_windowed,
+            )
+
+            core = get_train_core_windowed(settings, width, height, False,
+                                           k_max)
+
+            def loss(params):
+                out_raw = core(params, g_s, valid_s, start, count, bins[4],
+                               bins[5], bins[6], bins[7])
+                img = composite_epilogue(out_raw, bg, width, height)
+                return jnp.mean((img - target) ** 2)
+
+            return jax.value_and_grad(loss)(params)
+
         timeit("fwd (diff pipeline, value only)", fwd_value_only, cloud,
                jnp.float32(1e-7))
+        timeit("fwd+bwd [params leaf]", fwd_bwd_leaf, cloud, jnp.float32(1e-7))
         for variant in ("nothing", "nokernel", "full"):
             fn = make_step(variant)
             timeit(f"fwd+bwd [{variant}]", fn, cloud, jnp.float32(1e-7))
+
+    if only == "proj":
+        # projection + pack AD in isolation (the training step's ~31 ms
+        # XLA-AD block): forward, then grad of a scalar through it
+        @jax.jit
+        def proj_fwd(c, t):
+            splats = project_gaussians(c, camera, settings, mt, time=t)
+            params = rt.pack_raster_params(splats, settings, width, height)
+            return jnp.sum(params * 1e-6)
+
+        @jax.jit
+        def proj_bwd(c, t):
+            return jax.grad(lambda c: proj_fwd_inner(c, t))(c)
+
+        def proj_fwd_inner(c, t):
+            splats = project_gaussians(c, camera, settings, mt, time=t)
+            params = rt.pack_raster_params(splats, settings, width, height)
+            return jnp.sum(params * 1e-6)
+
+        timeit("project+pack fwd", proj_fwd, cloud, jnp.float32(1e-7))
+        timeit("project+pack fwd+bwd", proj_bwd, cloud, jnp.float32(1e-7))
+
+        # sub-chains
+        from bevy_gaussian_splatting_tpu.ops import sh as sh_ops
+
+        @jax.jit
+        def sh_only_bwd(c):
+            def f(c):
+                dirs = c.position / (
+                    jnp.linalg.norm(c.position, axis=-1, keepdims=True) + 1e-8
+                )
+                rgb = sh_ops.spherical_harmonics_lookup(
+                    dirs, c.spherical_harmonic
+                )
+                return jnp.sum(rgb * 1e-6)
+
+            return jax.grad(f)(c)
+
+        timeit("SH eval fwd+bwd", sh_only_bwd, cloud)
+
+        from bevy_gaussian_splatting_tpu.ops import covariance as cov_ops
+
+        @jax.jit
+        def cov_bwd(c):
+            def f(c):
+                cov3d = cov_ops.compute_cov3d(c.rotation, c.scale)
+                return jnp.sum(cov3d * 1e-6)
+
+            return jax.grad(f)(c)
+
+        timeit("cov3d fwd+bwd", cov_bwd, cloud)
 
     if only in ("", "train2"):
         log("--- training backward decomposition (adaptive budget) ---")
