@@ -71,23 +71,40 @@ def compute_cov3d(
     (src/gaussian/covariance.rs:31-33, src/render/gaussian_3d.wgsl:60-62).
     If ``model_transform`` [4,4] is given, conjugates by its 3x3 part:
     TS = T Sigma T^T (src/render/gaussian_3d.wgsl:63-71)."""
-    R = quat_to_rotation_matrix(rotation)
-    s = scale * global_scale
-    # M = S @ R  (rows of R scaled by s) ; Sigma = M^T M
-    M = R * s[..., :, None]
-    sigma = jnp.einsum("...ki,...kj->...ij", M, M)
+    # Fully component-wise ([..., 3, 3] stacks + einsum measured 21.7 ms
+    # fwd+bwd at 1M on TPU: tiny minor dims tile terribly, and the einsum
+    # would run at default bf16 matmul precision; scalar-expanded VPU ops
+    # are exact f32 and an order of magnitude faster).
+    r, x, y, z = (rotation[..., i] for i in range(4))
+    rows = (
+        (1.0 - 2.0 * (y * y + z * z), 2.0 * (x * y + r * z), 2.0 * (x * z - r * y)),
+        (2.0 * (x * y - r * z), 1.0 - 2.0 * (x * x + z * z), 2.0 * (y * z + r * x)),
+        (2.0 * (x * z + r * y), 2.0 * (y * z - r * x), 1.0 - 2.0 * (x * x + y * y)),
+    )
+    s2 = tuple((scale[..., k] * global_scale) ** 2 for k in range(3))
+    # Sigma = (S R)^T (S R): sigma_ij = sum_k s_k^2 R[k][i] R[k][j]
+    def sig(i, j):
+        return sum(s2[k] * rows[k][i] * rows[k][j] for k in range(3))
+
+    sigma = [[None] * 3 for _ in range(3)]
+    for i in range(3):
+        for j in range(i, 3):
+            sigma[i][j] = sigma[j][i] = sig(i, j)
     if model_transform is not None:
         T = model_transform[:3, :3]
-        sigma = jnp.einsum("ik,...kl,jl->...ij", T, sigma, T)
+        # TS = T Sigma T^T, expanded with the (traced) scalar T entries
+        ts = [[None] * 3 for _ in range(3)]
+        for i in range(3):
+            for j in range(i, 3):
+                acc = 0.0
+                for k in range(3):
+                    for l in range(3):
+                        acc = acc + T[i, k] * sigma[k][l] * T[j, l]
+                ts[i][j] = ts[j][i] = acc
+        sigma = ts
     return jnp.stack(
-        [
-            sigma[..., 0, 0],
-            sigma[..., 0, 1],
-            sigma[..., 0, 2],
-            sigma[..., 1, 1],
-            sigma[..., 1, 2],
-            sigma[..., 2, 2],
-        ],
+        [sigma[0][0], sigma[0][1], sigma[0][2], sigma[1][1], sigma[1][2],
+         sigma[2][2]],
         axis=-1,
     )
 

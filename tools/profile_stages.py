@@ -644,6 +644,57 @@ def main():
 
         timeit("cov3d fwd+bwd", cov_bwd, cloud)
 
+    if only == "proj2":
+        from bevy_gaussian_splatting_tpu.ops import covariance as cov_ops
+        from bevy_gaussian_splatting_tpu.ops import transforms as tf_ops
+
+        @jax.jit
+        def cov3d_bwd(c):
+            return jax.grad(
+                lambda c: jnp.sum(
+                    cov_ops.compute_cov3d(c.rotation, c.scale) * 1e-6
+                )
+            )(c)
+
+        timeit("cov3d fwd+bwd (component-wise)", cov3d_bwd, cloud)
+
+        cfw = camera.clip_from_view @ camera.view_from_world
+
+        @jax.jit
+        def w2c_bwd(c):
+            return jax.grad(
+                lambda c: jnp.sum(tf_ops.world_to_clip(c.position, cfw) * 1e-6)
+            )(c)
+
+        timeit("world_to_clip fwd+bwd", w2c_bwd, cloud)
+
+        @jax.jit
+        def cov2d_bwd(c):
+            def f(c):
+                c3 = cov_ops.compute_cov3d(c.rotation, c.scale)
+                c2 = cov_ops.cov2d(
+                    c.position, c3, camera.view_from_world,
+                    camera.clip_from_view,
+                    jnp.array([float(width), float(height)]),
+                )
+                return jnp.sum(c2 * 1e-6)
+
+            return jax.grad(f)(c)
+
+        timeit("cov3d+cov2d fwd+bwd", cov2d_bwd, cloud)
+
+        @jax.jit
+        def proj_bwd2(c, t):
+            def f(c):
+                splats = project_gaussians(c, camera, settings, mt, time=t)
+                params = rt.pack_raster_params(splats, settings, width, height)
+                return jnp.sum(params * 1e-6)
+
+            return jax.grad(f)(c)
+
+        timeit("project+pack fwd+bwd (new)", proj_bwd2, cloud,
+               jnp.float32(1e-7))
+
     if only in ("", "train2"):
         log("--- training backward decomposition (adaptive budget) ---")
         from bevy_gaussian_splatting_tpu.ops.rasterize_tile import (
