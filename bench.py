@@ -162,7 +162,9 @@ def main() -> int:
 
         c2 = bgs.random_gaussians_3d_seeded(100_000, seed=2)
         s2 = settings.replace(gaussian_mode=GaussianMode.GAUSSIAN_2D)
-        pipe2 = make_tiled_pipeline(s2, width, height, differentiable=False)
+        pipe2 = make_tiled_pipeline(
+            s2, width, height, differentiable=False, compositor="pallas"
+        )
         t2 = bench_forward(
             pipe2, lambda i: (c2, camera, mt, bg, jnp.float32(i * 1e-7)), iters
         )

@@ -50,31 +50,45 @@ def compute_cov2d_surfel(
 ):
     """Returns (local_to_pixel [..., 3, 3] math-layout T, mean_2d [..., 2],
     extent [..., 2], valid [...]) — gaussian_2d.wgsl:77-132."""
-    from bevy_gaussian_splatting_tpu.ops.covariance import quat_to_rotation_matrix
-
-    R = quat_to_rotation_matrix(rotation)  # [..., 3, 3] (reference's R_wgsl)
-    s = scale * global_scale
+    # Component-wise (the [..., 3, 3]-stacked einsum formulation tiles
+    # terribly on TPU and runs matmuls at default bf16 precision — see the
+    # cov3d rewrite in ops/covariance.py).
+    r, qx, qy, qz = (rotation[..., i] for i in range(4))
+    # rows of the reference rotation matrix (helpers.wgsl get_rotation_matrix)
+    R_rows = (
+        (1.0 - 2.0 * (qy * qy + qz * qz), 2.0 * (qx * qy + r * qz),
+         2.0 * (qx * qz - r * qy)),
+        (2.0 * (qx * qy - r * qz), 1.0 - 2.0 * (qx * qx + qz * qz),
+         2.0 * (qy * qz + r * qx)),
+        (2.0 * (qx * qz + r * qy), 2.0 * (qy * qz - r * qx),
+         1.0 - 2.0 * (qx * qx + qy * qy)),
+    )
+    s = tuple(scale[..., j] * global_scale for j in range(3))
     T_r = model_transform[:3, :3]
-    # L = T_r @ R^T @ S  : columns of L are the scaled surfel axes in world space.
-    L = jnp.einsum("ik,...jk,...j->...ij", T_r, R, s)
-
-    # world_from_local [..., 4, 3]: columns (L[:,0],0), (L[:,1],0), (pos,1)
-    zeros = jnp.zeros_like(L[..., 0, 0])
-    ones = jnp.ones_like(zeros)
-    wfl = jnp.stack(
-        [
-            jnp.stack([L[..., 0, 0], L[..., 0, 1], position_world[..., 0]], axis=-1),
-            jnp.stack([L[..., 1, 0], L[..., 1, 1], position_world[..., 1]], axis=-1),
-            jnp.stack([L[..., 2, 0], L[..., 2, 1], position_world[..., 2]], axis=-1),
-            jnp.stack([zeros, zeros, ones], axis=-1),
-        ],
-        axis=-2,
-    )  # [..., 4, 3]
+    # L = T_r @ R^T @ S; only columns 0 and 1 feed world_from_local:
+    # L[i][j] = sum_k T_r[i, k] R[j][k] * s_j
+    L = [
+        [sum(T_r[i, k] * R_rows[j][k] for k in range(3)) * s[j]
+         for j in range(2)]
+        for i in range(3)
+    ]
 
     ks = intrinsic_matrix(clip_from_view, viewport_size)  # [4, 3]
-    # T = wfl^T @ clip_from_world^T @ Ks   (gaussian_2d.wgsl:103)
-    m = clip_from_world.T @ ks  # [4, 3]
-    T = jnp.einsum("...ki,kj->...ij", wfl, m)  # [..., 3, 3]
+    # T = wfl^T @ (clip_from_world^T @ Ks) with wfl columns
+    # (L[:,0], 0), (L[:,1], 0), (pos, 1)   (gaussian_2d.wgsl:103)
+    m = clip_from_world.T @ ks  # [4, 3] constants
+    pos = tuple(position_world[..., k] for k in range(3))
+    t_rows = []
+    for i in range(2):  # rows 0, 1 from the surfel axes
+        t_rows.append(
+            [sum(L[k][i] * m[k, j] for k in range(3)) for j in range(3)]
+        )
+    t_rows.append(
+        [sum(pos[k] * m[k, j] for k in range(3)) + m[3, j] for j in range(3)]
+    )
+    T = jnp.stack(
+        [jnp.stack(row, axis=-1) for row in t_rows], axis=-2
+    )  # [..., 3, 3]
 
     cut2 = cutoff * cutoff
     test = jnp.stack([cut2, cut2, -jnp.ones_like(cut2)], axis=-1)  # [..., 3]

@@ -59,41 +59,56 @@ def conditional_cov3d(
     dir_t [...], mask [...])."""
     dt = time - timestamp
 
-    ml = _quat_mat_l(rotation)
-    mr = _quat_mat_r(rotation_r)
-    R = mr @ ml  # [..., 4, 4]
-    s4 = jnp.stack(
-        [
-            scale[..., 0] * global_scale,
-            scale[..., 1] * global_scale,
-            scale[..., 2] * global_scale,
-            timescale,
-        ],
-        axis=-1,
+    # Component-wise dual-quat product and covariance ([..., 4, 4] stacks +
+    # einsum tile terribly on TPU and the einsum would run at default bf16
+    # matmul precision — see the cov3d rewrite in ops/covariance.py).
+    w, x, y, z = (rotation[..., i] for i in range(4))
+    ml = (
+        (w, x, y, z),
+        (-x, w, z, -y),
+        (-y, -z, w, x),
+        (-z, y, -x, w),
     )
-    M = R * s4[..., None, :]  # R @ diag(s4): scale columns
-    sigma = jnp.einsum("...ki,...kj->...ij", M, M)  # M^T M
+    wr, xr, yr, zr = (rotation_r[..., i] for i in range(4))
+    mr = (
+        (wr, xr, yr, zr),
+        (-xr, wr, -zr, yr),
+        (-yr, zr, wr, -xr),
+        (-zr, -yr, xr, wr),
+    )
+    R = [
+        [sum(mr[i][k] * ml[k][j] for k in range(4)) for j in range(4)]
+        for i in range(4)
+    ]
+    s4 = (
+        scale[..., 0] * global_scale,
+        scale[..., 1] * global_scale,
+        scale[..., 2] * global_scale,
+        timescale,
+    )
 
-    cov_t = sigma[..., 3, 3]
+    # M = R diag(s4); sigma = M^T M: sigma_ij = s4_i s4_j sum_k R[k][i] R[k][j]
+    def sig(i, j):
+        return s4[i] * s4[j] * sum(R[k][i] * R[k][j] for k in range(4))
+
+    cov_t = sig(3, 3)
     cov_t_safe = jnp.where(cov_t > 1e-12, cov_t, 1e-12)
     marginal_t = jnp.exp(-0.5 * dt * dt / cov_t_safe)
     mask = marginal_t > MARGINAL_MASK_THRESHOLD
 
-    cov12 = sigma[..., :3, 3]  # [..., 3]
-    cond = sigma[..., :3, :3] - (cov12[..., :, None] * cov12[..., None, :]) / cov_t_safe[
-        ..., None, None
-    ]
-    delta_mean = cov12 / cov_t_safe[..., None] * dt[..., None]
+    cov12 = [sig(i, 3) for i in range(3)]  # [..., 3] components
+    inv_t = 1.0 / cov_t_safe
+
+    def cond(i, j):
+        return sig(i, j) - cov12[i] * cov12[j] * inv_t
+
+    delta_mean = jnp.stack(
+        [cov12[i] * inv_t * dt for i in range(3)], axis=-1
+    )
 
     cov3d = jnp.stack(
-        [
-            cond[..., 0, 0],
-            cond[..., 0, 1],
-            cond[..., 0, 2],
-            cond[..., 1, 1],
-            cond[..., 1, 2],
-            cond[..., 2, 2],
-        ],
+        [cond(0, 0), cond(0, 1), cond(0, 2), cond(1, 1), cond(1, 2),
+         cond(2, 2)],
         axis=-1,
     )
     return {
