@@ -263,11 +263,20 @@ def make_train_step(
     height: int,
     learning_rate: float = 1e-2,
     compositor: str = "xla",
+    loss: str = "l2",
 ):
-    """Sharded differentiable train step: render -> L2 loss vs target ->
-    adam update of all gaussian parameters.  Returns (step_fn, init_fn)."""
+    """Sharded differentiable train step: render -> photometric loss vs
+    target -> adam update of all gaussian parameters.  Returns
+    (step_fn, init_fn).
+
+    ``loss``: "l2" (plain MSE) or "l1_ssim" (the standard 3DGS objective,
+    train/losses.py) — the SSIM term is evaluated band-locally per device,
+    so windows touching a band boundary see zero padding instead of the
+    neighbor band (an approximation that vanishes as bands grow; the L1
+    term is exact)."""
     import optax
 
+    use_ssim = loss == "l1_ssim"
     n_bands = mesh.shape[TILES_AXIS]
     from jax import shard_map
 
@@ -291,6 +300,12 @@ def make_train_step(
             # transpose (psum-scatter) already accumulates every band's
             # contribution into the shard gradient exactly once.  psum-ing the
             # loss before grad would scale gradients by the axis size.
+            if use_ssim:
+                from bevy_gaussian_splatting_tpu.train.losses import (
+                    gaussian_splatting_loss,
+                )
+
+                return gaussian_splatting_loss(img_band, target_band) / n_bands
             return jnp.sum((img_band - target_band) ** 2) / (height * width * 4)
 
         loss_local, grads = jax.value_and_grad(local_loss)(cloud_shard)

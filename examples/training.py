@@ -34,6 +34,10 @@ def main() -> int:
     opt = optax.adam(2e-2)
     state = opt.init(cloud)
 
+    from bevy_gaussian_splatting_tpu.train.losses import (
+        gaussian_splatting_loss,
+    )
+
     @jax.jit
     def step(cloud, state):
         def loss(c):
@@ -41,7 +45,8 @@ def main() -> int:
                 c, cam, settings, width=W, height=H,
                 differentiable=True, compositor="pallas",
             )
-            return jnp.mean((img - target) ** 2)
+            # standard 3DGS photometric objective: 0.8 L1 + 0.2 (1 - SSIM)
+            return gaussian_splatting_loss(img, target)
 
         value, grads = jax.value_and_grad(loss)(cloud)
         updates, state = opt.update(grads, state)
