@@ -264,10 +264,17 @@ def make_train_step(
     learning_rate: float = 1e-2,
     compositor: str = "xla",
     loss: str = "l2",
+    skip_nonfinite: int = 0,
 ):
     """Sharded differentiable train step: render -> photometric loss vs
     target -> adam update of all gaussian parameters.  Returns
     (step_fn, init_fn).
+
+    ``skip_nonfinite``: when > 0, wrap the optimizer in
+    ``optax.apply_if_finite`` — steps whose gradients contain NaN/Inf are
+    skipped (parameters untouched) and training errors out only after that
+    many CONSECUTIVE bad steps.  Production failure-containment for long
+    unattended runs.
 
     ``loss``: "l2" (plain MSE) or "l1_ssim" (the standard 3DGS objective,
     train/losses.py) — the SSIM term is evaluated band-locally per device,
@@ -281,6 +288,8 @@ def make_train_step(
     from jax import shard_map
 
     optimizer = optax.adam(learning_rate)
+    if skip_nonfinite:
+        optimizer = optax.apply_if_finite(optimizer, skip_nonfinite)
 
     @partial(
         shard_map,

@@ -210,3 +210,46 @@ class TestShardedPallas:
             np.testing.assert_allclose(
                 _np(getattr(c_p, f)), _np(getattr(c_x, f)), atol=2e-4, err_msg=f
             )
+
+
+def test_train_step_skips_nonfinite():
+    """apply_if_finite guard: a poisoned cloud (NaN position) must not
+    propagate NaNs into the parameters; the bad step is skipped."""
+    import dataclasses
+
+    import bevy_gaussian_splatting_tpu as bgs
+    from bevy_gaussian_splatting_tpu.parallel.render import (
+        make_mesh,
+        make_sharded_render,
+        make_train_step,
+        shard_cloud,
+    )
+
+    mesh8 = make_mesh(8)
+    cloud = bgs.random_gaussians_3d_seeded(64, seed=0)
+    sharded = shard_cloud(cloud, mesh8)
+    cam = bgs.Camera.create(eye=(0, 0, 60.0), target=(0, 0, 0), width=64, height=128)
+    settings = bgs.CloudSettings()
+    render = make_sharded_render(mesh8, settings, 64, 128)
+    target = render(sharded, cam)
+
+    step, init = make_train_step(
+        mesh8, settings, 64, 128, learning_rate=1e-2, skip_nonfinite=3
+    )
+    opt_state = init(sharded)
+
+    # poison one position with NaN: grads become non-finite somewhere
+    pv = np.asarray(sharded.position_visibility).copy()
+    pv[0, 0] = np.nan
+    bad = dataclasses.replace(sharded, position_visibility=jnp.asarray(pv))
+    bad = shard_cloud(
+        dataclasses.replace(cloud, position_visibility=jnp.asarray(pv[: len(cloud)])),
+        mesh8,
+    )
+    opt_state_bad = init(bad)
+    new_cloud, _, _ = step(bad, opt_state_bad, cam, target)
+    # the NaN input entry remains NaN, but the update must have been skipped:
+    # all OTHER parameters must be exactly unchanged (no NaN propagation)
+    a = np.asarray(new_cloud.rotation)
+    b = np.asarray(bad.rotation)
+    np.testing.assert_array_equal(a, b)
