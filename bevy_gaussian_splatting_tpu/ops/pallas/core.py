@@ -70,7 +70,8 @@ _WINDOWED_CORE_CACHE: dict = {}
 
 
 def get_train_core_windowed(settings: CloudSettings, width: int, height: int,
-                            interpret: bool, k_max: int):
+                            interpret: bool, k_max: int,
+                            full_height: int | None = None):
     """custom_vjp training core for the pallas-expansion pipeline:
 
       fwd: params_sorted = params[g_s]; forward kernel -> out_raw
@@ -82,7 +83,9 @@ def get_train_core_windowed(settings: CloudSettings, width: int, height: int,
     Replaces get_train_core's lane-major segmented scan + ends/offsets
     gathers with the reduction kernel; index/table args are non-diff
     byproducts of binning (expand='pallas')."""
-    key = (settings.static_key(), width, height, interpret, k_max)
+    if full_height is None:
+        full_height = height
+    key = (settings.static_key(), width, height, interpret, k_max, full_height)
     fn = _WINDOWED_CORE_CACHE.get(key)
     if fn is not None:
         return fn
@@ -94,27 +97,28 @@ def get_train_core_windowed(settings: CloudSettings, width: int, height: int,
     num_tiles = (width // tile_fwd.TILE) * (height // tile_fwd.TILE)
 
     @jax.custom_vjp
-    def core(params, g_s, valid_s, start, count, inv_pair, table, g0s, rank):
+    def core(params, g_s, valid_s, start, count, inv_pair, table, g0s, rank,
+             y0):
         params_sorted = params[g_s]
         return tile_fwd.pallas_forward_raw(
             params_sorted, start, count, settings, width, height,
-            interpret=interpret,
+            interpret=interpret, y0=y0, full_height=full_height,
         )
 
     def core_fwd(params, g_s, valid_s, start, count, inv_pair, table, g0s,
-                 rank):
+                 rank, y0):
         params_sorted = params[g_s]
         out_raw = tile_fwd.pallas_forward_raw(
             params_sorted, start, count, settings, width, height,
-            interpret=interpret,
+            interpret=interpret, y0=y0, full_height=full_height,
         )
         res = (params_sorted, start, count, out_raw, inv_pair, table, g0s,
-               rank)
+               rank, y0)
         return out_raw, res
 
     def core_bwd(res, g_out):
         (params_sorted, start, count, out_raw, inv_pair, table, g0s,
-         rank) = res
+         rank, y0) = res
         n = rank.shape[0]
         c_par = params_sorted.shape[1]
         g = g_out.reshape(num_tiles, 8, tile_fwd.PIX)
@@ -123,7 +127,8 @@ def get_train_core_windowed(settings: CloudSettings, width: int, height: int,
                                axis=1)
         dsorted = tile_bwd.pallas_composite_backward(
             params_sorted, start, count, gbar, settings, width, height,
-            interpret=interpret, full_width=True,
+            interpret=interpret, full_width=True, y0=y0,
+            full_height=full_height,
         )
         # sorted pair order -> pre-sort slot order (contiguous per gaussian)
         dslot_t = dsorted[inv_pair].T
@@ -139,7 +144,7 @@ def get_train_core_windowed(settings: CloudSettings, width: int, height: int,
         # it is int-derived and unused upstream, so XLA DCEs it
         return (dparams, nil(inv_pair), nil(inv_pair), nil(start),
                 nil(count), nil(inv_pair), jnp.zeros_like(table), nil(g0s),
-                nil(rank))
+                nil(rank), nil(y0))
 
     core.defvjp(core_fwd, core_bwd)
     _WINDOWED_CORE_CACHE[key] = core

@@ -158,6 +158,7 @@ def _alpha_and_partials(chunk, px_vp, py_vp, mode: str, width: int, height: int)
 def _backward_kernel(
     start_ref,  # scalar prefetch [T]
     count_ref,  # scalar prefetch [T]
+    y0_ref,  # scalar prefetch [1] — band's first pixel row in the full image
     params_hbm,  # [PW, P_pad] ANY
     gbar_ref,  # [8, PIX] VMEM: rows 0-2 ghat_rgb, 3 ghat_T, 4-6 total_rgb, 7 T_fin
     zeros_hbm,  # [PW, P_pad] ANY — donated into dparams_hbm (unread)
@@ -171,7 +172,7 @@ def _backward_kernel(
     *,
     tx_count: int,
     width: int,
-    height: int,
+    full_height: int,
     mode: str,
 ):
     from bevy_gaussian_splatting_tpu.ops.pallas.tile_fwd import rgb_row
@@ -185,7 +186,8 @@ def _backward_kernel(
     prefix = start_raw - base
     count = count_ref[t]
     total = count + prefix
-    px_vp, py_vp = _tile_pixel_coords(t, tx_count, width, height)
+    px_vp, py_vp = _tile_pixel_coords(t, tx_count, width, full_height,
+                                      y0_ref[0])
 
     ghat_rgb = [gbar_ref[i : i + 1, :].T for i in range(3)]  # [PIX, 1] each
     ghat_T = gbar_ref[3:4, :].T
@@ -233,7 +235,8 @@ def _backward_kernel(
         dma_in(c % 2, c).wait()
         chunk = chunk_vmem[c % 2]
 
-        alpha, aux = _alpha_and_partials(chunk, px_vp, py_vp, mode, width, height)
+        alpha, aux = _alpha_and_partials(chunk, px_vp, py_vp, mode, width,
+                                         full_height)
         lane_idx = c * CHUNK + lane
         in_rng = (lane_idx >= prefix) & (lane_idx < total)
         alpha = jnp.where(in_rng, alpha, 0.0)
@@ -412,6 +415,8 @@ def pallas_composite_backward(
     height: int,
     interpret: bool = False,
     full_width: bool = False,
+    y0=None,
+    full_height: int | None = None,
 ) -> jnp.ndarray:
     """Run the backward kernel -> dparams [P, C] in the same sorted layout.
 
@@ -421,13 +426,22 @@ def pallas_composite_backward(
     ``full_width=True`` returns the kernel's native padded width [P, PW]
     (zero gradient columns kept): 64-byte rows make the downstream
     ``dsorted[inv_pair]`` reorder run at the fast row-gather rate (measured
-    ~7 ns/row at 16 f32 columns vs ~27 ns/row at 10)."""
+    ~7 ns/row at 16 f32 columns vs ~27 ns/row at 10).
+
+    ``y0``/``full_height``: full-frame pixel geometry for sharded band
+    rendering (see pallas_forward_raw); defaults are single-chip exact."""
     from bevy_gaussian_splatting_tpu.ops.pallas.tile_fwd import (
         kernel_mode,
         param_width,
     )
 
     mode = kernel_mode(settings)
+    if full_height is None:
+        full_height = height
+    if y0 is None:
+        y0 = jnp.zeros((1,), jnp.int32)
+    else:
+        y0 = jnp.asarray(y0, jnp.int32).reshape(1)
     pw = param_width(mode)
     tx_count = width // TILE
     ty_count = height // TILE
@@ -442,12 +456,12 @@ def pallas_composite_backward(
         _backward_kernel,
         tx_count=tx_count,
         width=width,
-        height=height,
+        full_height=full_height,
         mode=mode,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -470,13 +484,15 @@ def pallas_composite_backward(
         out_shape=jax.ShapeDtypeStruct((pw, p_pad), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-        # flattened inputs: [start, count, params_t, gbar, zeros] -> the zeros
-        # buffer (index 4) is donated as output 0
-        input_output_aliases={4: 0},
+        # flattened inputs (scalar-prefetch operands count): [start, count,
+        # y0, params_t, gbar, zeros] -> the zeros buffer (index 5) is donated
+        # as output 0
+        input_output_aliases={5: 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(
         tile_start.astype(jnp.int32),
         count.astype(jnp.int32),
+        y0,
         params_t,
         gbar.reshape(num_tiles * 8, PIX),
         jnp.zeros((pw, p_pad), jnp.float32),

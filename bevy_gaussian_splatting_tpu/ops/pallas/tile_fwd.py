@@ -63,17 +63,22 @@ def kernel_mode(settings: CloudSettings) -> str:
     return "aabb" if settings.aabb else "obb"
 
 
-def _tile_pixel_coords(t, tx_count: int, width: int, height: int):
-    """vp-unit pixel center coordinates for tile t -> ([PIX, 1], [PIX, 1])."""
+def _tile_pixel_coords(t, tx_count: int, width: int, full_height: int, y0):
+    """vp-unit pixel center coordinates for tile t -> ([PIX, 1], [PIX, 1]).
+
+    ``t`` indexes the kernel's (possibly band-local) tile grid; ``y0`` is the
+    band's first pixel row in the FULL image (0 single-chip) and
+    ``full_height`` the full image height, so a sharded band kernel produces
+    bit-identical full-frame coordinates (integer f32 adds are exact)."""
     tx = (t % tx_count).astype(jnp.float32)
     ty = (t // tx_count).astype(jnp.float32)
     sub = jax.lax.broadcasted_iota(jnp.int32, (PIX, 1), 0)
     px_local = (sub % TILE).astype(jnp.float32)
     py_local = (sub // TILE).astype(jnp.float32)
     px = tx * TILE + px_local + 0.5
-    py = ty * TILE + py_local + 0.5
+    py = ty * TILE + py_local + 0.5 + y0.astype(jnp.float32)
     px_vp = (px * (2.0 / width) - 1.0) * width
-    py_vp = (1.0 - py * (2.0 / height)) * height
+    py_vp = (1.0 - py * (2.0 / full_height)) * full_height
     return px_vp, py_vp
 
 
@@ -176,6 +181,7 @@ def _cumprod_lanes(x: jnp.ndarray) -> jnp.ndarray:
 def _composite_kernel(
     start_ref,  # scalar prefetch [T]
     count_ref,  # scalar prefetch [T]
+    y0_ref,  # scalar prefetch [1] — band's first pixel row in the full image
     params_hbm,  # [PW, P_pad] in ANY/HBM
     out_ref,  # [8, 256] VMEM block for this tile (rows 4..7 pad)
     chunk_vmem,  # [2, PW, CHUNK] double buffer
@@ -183,7 +189,7 @@ def _composite_kernel(
     *,
     tx_count: int,
     width: int,
-    height: int,
+    full_height: int,
     mode: str,
     bbox: bool = False,
     chunk_size: int = CHUNK,
@@ -197,7 +203,8 @@ def _composite_kernel(
     prefix = start_raw - base
     count = count_ref[t]
     total = count + prefix
-    px_vp, py_vp = _tile_pixel_coords(t, tx_count, width, height)
+    px_vp, py_vp = _tile_pixel_coords(t, tx_count, width, full_height,
+                                      y0_ref[0])
 
     n_chunks = pl.cdiv(total, chunk_size)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk_size), 1)
@@ -225,11 +232,11 @@ def _composite_kernel(
 
         if bbox:
             alpha, edge = _chunk_alpha(
-                chunk, px_vp, py_vp, mode, width, height, with_edge=True
+                chunk, px_vp, py_vp, mode, width, full_height, with_edge=True
             )
             alpha = jnp.where(edge, 1.0, alpha)  # opaque box borders
         else:
-            alpha = _chunk_alpha(chunk, px_vp, py_vp, mode, width, height)
+            alpha = _chunk_alpha(chunk, px_vp, py_vp, mode, width, full_height)
         lane_idx = c * chunk_size + lane
         in_rng = (lane_idx >= prefix) & (lane_idx < total)
         alpha = jnp.where(in_rng, alpha, 0.0)
@@ -288,9 +295,22 @@ def pallas_forward_raw(
     interpret: bool = False,
     chunk_size: int = CHUNK,
     early_exit: bool = True,
+    y0=None,
+    full_height: int | None = None,
 ) -> jnp.ndarray:
-    """Raw kernel output [T*8, PIX]: rows 0-2 rgb accum, row 3 transmittance."""
+    """Raw kernel output [T*8, PIX]: rows 0-2 rgb accum, row 3 transmittance.
+
+    ``y0``/``full_height``: full-frame pixel geometry for sharded band
+    rendering (parallel/render.py) — ``height`` is then the band height that
+    sizes the tile grid while all fragment math runs in full-image
+    coordinates.  Defaults reproduce the single-chip behavior exactly."""
     mode = kernel_mode(settings)
+    if full_height is None:
+        full_height = height
+    if y0 is None:
+        y0 = jnp.zeros((1,), jnp.int32)
+    else:
+        y0 = jnp.asarray(y0, jnp.int32).reshape(1)
     pw = param_width(mode)
 
     tx_count = width // TILE
@@ -307,7 +327,7 @@ def pallas_forward_raw(
         _composite_kernel,
         tx_count=tx_count,
         width=width,
-        height=height,
+        full_height=full_height,
         mode=mode,
         bbox=settings.visualize_bounding_box,
         chunk_size=chunk_size,
@@ -315,7 +335,7 @@ def pallas_forward_raw(
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec(
@@ -332,7 +352,8 @@ def pallas_forward_raw(
         out_shape=jax.ShapeDtypeStruct((num_tiles * 8, PIX), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(tile_start.astype(jnp.int32), tile_count.astype(jnp.int32), params_t)
+    )(tile_start.astype(jnp.int32), tile_count.astype(jnp.int32), y0,
+      params_t)
 
 
 def composite_epilogue(
@@ -386,10 +407,13 @@ def pallas_composite_tiles(
     interpret: bool = False,
     chunk_size: int = CHUNK,
     early_exit: bool = True,
+    y0=None,
+    full_height: int | None = None,
 ) -> jnp.ndarray:
     """Forward-only convenience: raw kernel + epilogue -> [H, W, 4]."""
     out_raw = pallas_forward_raw(
         params_sorted, tile_start, tile_count, settings, width, height,
         interpret=interpret, chunk_size=chunk_size, early_exit=early_exit,
+        y0=y0, full_height=full_height,
     )
     return composite_epilogue(out_raw, background, width, height)

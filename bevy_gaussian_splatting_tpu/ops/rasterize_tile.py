@@ -848,7 +848,7 @@ def render_tiled(
             )
             out_raw = core(
                 params, g_s, valid_s, start, count, inv_pair, table, g0s,
-                rank,
+                rank, jnp.zeros((1,), jnp.int32),
             )
             return composite_epilogue(out_raw, background, width, height)
 

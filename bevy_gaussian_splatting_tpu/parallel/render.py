@@ -144,7 +144,7 @@ def _local_band_render(
     p_max = pairs_budget(n_total)
     k_max = tile_budget(n_total)
     band_rows = band_h // TILE
-    use_pallas = compositor == "pallas" and settings.gaussian_mode.value != "gaussian_2d"
+    use_pallas = compositor == "pallas"
     import jax as _jax
 
     interpret = _jax.default_backend() != "tpu"
@@ -173,25 +173,22 @@ def _local_band_render(
         )
 
         # Both kernels accept unaligned tile starts (DMA base align-down +
-        # prefix mask/merge).  The Pallas kernel derives pixel coords from
-        # band-local tile ids, so it needs the y center rebuilt in the band
-        # frame (col 1 = cy_vp): cy_band chosen so (cy_band - py_band) *
-        # band_h == full-frame vp dist.  get_train_core gives the sharded
-        # training step the scatter-free per-gaussian gradient reduction; in
-        # forward-only renders the unused inverse artifacts are DCE'd.
-        scale_y = height / band_h
-        cy_band = (
-            (g_splats["center_ndc"][:, 1] - 1.0) * scale_y + 1.0 + 2.0 * y0_px / band_h
-        )
-        params_band = params_full.at[:, 1].set(cy_band * band_h)
+        # prefix mask/merge) and take the band's first pixel row as a traced
+        # y-offset (full_height static), so every fragment evaluates in exact
+        # full-frame coordinates for all modes (incl. the 2DGS surfel
+        # homography, whose NDC frame cannot be rebuilt band-locally).
+        # get_train_core gives the sharded training step the scatter-free
+        # per-gaussian gradient reduction; in forward-only renders the unused
+        # inverse artifacts are DCE'd.
         count = jnp.minimum(end - start, k_max)
         _, _, _, _, inv_pair, table, g0s, rank = bins
         core = get_train_core_windowed(
-            settings, width, band_h, interpret, k_max
+            settings, width, band_h, interpret, k_max, full_height=height
         )
+        y0_rows = (band * band_h).astype(jnp.int32).reshape(1)
         out_raw = core(
-            params_band, g_s, valid_s, start, count, inv_pair, table, g0s,
-            rank,
+            params_full, g_s, valid_s, start, count, inv_pair, table, g0s,
+            rank, y0_rows,
         )
         return composite_epilogue(out_raw, background, width, band_h)
 

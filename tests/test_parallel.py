@@ -191,6 +191,40 @@ class TestShardedPallas:
         ref = render_tiled(padded, CAM, settings, width=W, height=H)
         np.testing.assert_allclose(_np(img_p), _np(ref), atol=3e-5)
 
+    def test_pallas_sharded_2dgs_render_matches(self, mesh):
+        # The band kernels receive the band's pixel-row offset (y0) plus the
+        # full image height, so the surfel homography evaluates in exact
+        # full-frame NDC — no band-local remap.  Tolerance as in
+        # test_2dgs_surfel (us = px/pz ulp amplification near small |pz|).
+        settings = bgs.CloudSettings(gaussian_mode=bgs.GaussianMode.GAUSSIAN_2D)
+        cloud = bgs.random_gaussians_3d_seeded(300, seed=1)
+        sharded = shard_cloud(cloud, mesh)
+        img_p = make_sharded_render(mesh, settings, W, H, compositor="pallas")(
+            sharded, CAM
+        )
+        padded = cloud.pad(multiple=max(256, 8 * 8))
+        ref = render_tiled(padded, CAM, settings, width=W, height=H)
+        np.testing.assert_allclose(_np(img_p), _np(ref), atol=3e-4)
+
+    def test_pallas_sharded_2dgs_train_grads(self, mesh):
+        settings = bgs.CloudSettings(gaussian_mode=bgs.GaussianMode.GAUSSIAN_2D)
+        cloud = bgs.random_gaussians_3d_seeded(200, seed=2)
+        sharded = shard_cloud(cloud, mesh)
+        render_fn = make_sharded_render(mesh, settings, W, H)
+        target = render_fn(sharded, CAM) * 0.9
+
+        step_p, init_p = make_train_step(
+            mesh, settings, W, H, learning_rate=1e-3, compositor="pallas"
+        )
+        step_x, init_x = make_train_step(mesh, settings, W, H, learning_rate=1e-3)
+        c_p, _, loss_p = step_p(sharded, init_p(sharded), CAM, target)
+        c_x, _, loss_x = step_x(sharded, init_x(sharded), CAM, target)
+        np.testing.assert_allclose(float(loss_p), float(loss_x), rtol=1e-4)
+        for f in ("position_visibility", "scale_opacity", "spherical_harmonic"):
+            np.testing.assert_allclose(
+                _np(getattr(c_p, f)), _np(getattr(c_x, f)), atol=2e-4, err_msg=f
+            )
+
     def test_pallas_sharded_train_grads(self, mesh):
         settings = bgs.CloudSettings()
         cloud = bgs.random_gaussians_3d_seeded(200, seed=2)

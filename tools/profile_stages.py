@@ -580,7 +580,8 @@ def main():
 
             def loss(params):
                 out_raw = core(params, g_s, valid_s, start, count, bins[4],
-                               bins[5], bins[6], bins[7])
+                               bins[5], bins[6], bins[7],
+                               jnp.zeros((1,), jnp.int32))
                 img = composite_epilogue(out_raw, bg, width, height)
                 return jnp.mean((img - target) ** 2)
 
