@@ -19,6 +19,39 @@ import numpy as np
 from bevy_gaussian_splatting_tpu.models.settings import CloudSettings
 from bevy_gaussian_splatting_tpu.ops.pallas import tile_bwd, tile_fwd
 
+# XLA row-gather throughput on v5e has a sharp table-size cliff (measured,
+# tools/profile_bwd_gather.py + BASELINE.md): tables <= 64 MiB gather rows at
+# ~7 ns/row, larger ones at ~24 ns/row, independent of row width (<= 64 B)
+# and index distribution.
+_GATHER_CLIFF_BYTES = 64 * 1024 * 1024
+_FAST_NS, _SLOW_NS = 7.0, 24.0
+
+
+def _gather_col_splits(p: int, c: int) -> list:
+    """Column slices for gathering a [p, c] f32 table by ~p indices, chosen
+    by the measured cliff model: one full-width gather, or ceil(c/8)-piece
+    8-column gathers whose sub-tables each fit under the cliff.  In-jit at
+    the 2M-pair budget the split saves ~24 ms (119 -> 95 ms params-leaf
+    step, tools/profile_bwd_gather.py)."""
+    single = _SLOW_NS if p * c * 4 > _GATHER_CLIFF_BYTES else _FAST_NS
+    pieces = (c + 7) // 8
+    per_piece = _SLOW_NS if p * 32 > _GATHER_CLIFF_BYTES else _FAST_NS
+    if pieces * per_piece < single:
+        return [(i * 8, min((i + 1) * 8, c)) for i in range(pieces)]
+    return [(0, c)]
+
+
+def _gather_rows(table, idx, c_live: int):
+    """table[idx] restricted to the first ``c_live`` columns, split per the
+    cliff model -> [len(idx), c_live]."""
+    p = table.shape[0]
+    splits = _gather_col_splits(p, c_live)
+    if len(splits) == 1:
+        sliced = table[:, :c_live] if c_live < table.shape[1] else table
+        return sliced[idx]
+    return jnp.concatenate([table[:, a:b][idx] for a, b in splits], axis=1)
+
+
 _CORE_CACHE: dict = {}
 
 
@@ -99,7 +132,7 @@ def get_train_core_windowed(settings: CloudSettings, width: int, height: int,
     @jax.custom_vjp
     def core(params, g_s, valid_s, start, count, inv_pair, table, g0s, rank,
              y0):
-        params_sorted = params[g_s]
+        params_sorted = _gather_rows(params, g_s, params.shape[1])
         return tile_fwd.pallas_forward_raw(
             params_sorted, start, count, settings, width, height,
             interpret=interpret, y0=y0, full_height=full_height,
@@ -107,7 +140,7 @@ def get_train_core_windowed(settings: CloudSettings, width: int, height: int,
 
     def core_fwd(params, g_s, valid_s, start, count, inv_pair, table, g0s,
                  rank, y0):
-        params_sorted = params[g_s]
+        params_sorted = _gather_rows(params, g_s, params.shape[1])
         out_raw = tile_fwd.pallas_forward_raw(
             params_sorted, start, count, settings, width, height,
             interpret=interpret, y0=y0, full_height=full_height,
@@ -130,11 +163,21 @@ def get_train_core_windowed(settings: CloudSettings, width: int, height: int,
             interpret=interpret, full_width=True, y0=y0,
             full_height=full_height,
         )
-        # sorted pair order -> pre-sort slot order (contiguous per gaussian)
-        dslot_t = dsorted[inv_pair].T
+        # sorted pair order -> pre-sort slot order (contiguous per gaussian);
+        # column-split per the gather cliff model (sub-64-MiB sub-tables
+        # gather 3.4x faster — tools/profile_bwd_gather.py)
+        dslot = _gather_rows(dsorted, inv_pair, c_par)
+        # the lane-major reduce DMAs [cw, CHUNK] slices: cw must be a sublane
+        # multiple, so pad the row count up to the kernel width
+        dslot_t = dslot.T
+        if dslot_t.shape[0] % 8:
+            dslot_t = jnp.pad(
+                dslot_t, ((0, 8 - dslot_t.shape[0] % 8), (0, 0))
+            )
         drank = pallas_segment_reduce(dslot_t, table, g0s, n,
                                       interpret=interpret)
-        dparams = drank.T[rank][:, :c_par]
+        # rank gather through the same cliff model (live columns only)
+        dparams = _gather_rows(drank[:c_par].T, rank, c_par)
         f0 = jax.dtypes.float0
 
         def nil(a):
