@@ -80,8 +80,20 @@ def spherical_harmonics_lookup(
     -> [..., 3] with the reference's +0.5 bias (spherical_harmonics.wgsl:39)."""
     n_basis = (degree + 1) ** 2
     basis = sh_basis(direction, degree)  # [..., n_basis]
-    coeffs = sh[..., : n_basis * 3].reshape(*sh.shape[:-1], n_basis, 3)
-    return 0.5 + jnp.einsum("...k,...kc->...c", basis, coeffs)
+    return 0.5 + _interleaved_contract(basis, sh, n_basis)
+
+
+def _interleaved_contract(basis: jnp.ndarray, sh: jnp.ndarray, k: int):
+    """sum_j basis[..., j:j+1] * sh[..., 3j:3j+3] -> [..., 3].
+
+    Contiguous-slice accumulation measured fastest on TPU at 1M x deg-3
+    (fwd+bwd 6.7 ms vs einsum 8.2 ms vs strided-lane slices 15.8 ms — the
+    einsum's [N, K, 3] intermediate and the strided slices' dilated-pad
+    transpose both lose; /tmp probe recorded in BASELINE.md)."""
+    acc = basis[..., 0:1] * sh[..., 0:3]
+    for j in range(1, k):
+        acc = acc + basis[..., j : j + 1] * sh[..., 3 * j : 3 * j + 3]
+    return acc
 
 
 def spherindrical_harmonics_lookup(
@@ -105,10 +117,9 @@ def spherindrical_harmonics_lookup(
     tb = jnp.stack(blocks, axis=-1)  # [..., degree_time+1]
     full_basis = basis[..., None, :] * tb[..., :, None]  # [..., T, n_basis]
     full_basis = full_basis.reshape(*basis.shape[:-1], n_basis * (degree_time + 1))
-    coeffs = sh[..., : full_basis.shape[-1] * 3].reshape(
-        *sh.shape[:-1], full_basis.shape[-1], 3
+    return 0.5 + _interleaved_contract(
+        full_basis, sh, n_basis * (degree_time + 1)
     )
-    return 0.5 + jnp.einsum("...k,...kc->...c", full_basis, coeffs)
 
 
 def srgb_to_linear(srgb: jnp.ndarray) -> jnp.ndarray:
