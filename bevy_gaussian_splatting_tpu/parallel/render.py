@@ -181,7 +181,7 @@ def _local_band_render(
         # per-gaussian gradient reduction; in forward-only renders the unused
         # inverse artifacts are DCE'd.
         count = jnp.minimum(end - start, k_max)
-        _, _, _, _, inv_pair, table, g0s, rank = bins
+        inv_pair, table, g0s, rank = bins[4:8]
         core = get_train_core_windowed(
             settings, width, band_h, interpret, k_max, full_height=height
         )

@@ -205,6 +205,30 @@ class TestPallasExpansion:
     def test_parity_basic(self):
         self._compare(CLOUD, p_max=1 << 13)
 
+    def test_searchsorted_wide_matches_jnp(self):
+        # the two-level wide search behind tile_ranges / the expansion's g0s
+        # must equal jnp.searchsorted exactly, both sides, including
+        # duplicate-heavy and boundary-value query sets
+        from bevy_gaussian_splatting_tpu.ops.rasterize_tile import (
+            searchsorted_wide,
+        )
+
+        rng = np.random.default_rng(11)
+        for n, qmax in ((100_000, 1024), (12_345, 64), (700, 5)):
+            arr = jnp.asarray(np.sort(rng.integers(0, qmax, n)), jnp.int32)
+            queries = jnp.asarray(
+                np.concatenate(
+                    [np.arange(qmax), rng.integers(0, qmax, 64), [0, qmax - 1]]
+                ),
+                jnp.int32,
+            )
+            for side in ("left", "right"):
+                ref = jnp.searchsorted(arr, queries, side=side)
+                got = searchsorted_wide(arr, queries, side=side)
+                np.testing.assert_array_equal(
+                    _np(got), _np(ref), err_msg=f"n={n} side={side}"
+                )
+
     def test_rowmajor_reduce_matches_lanemajor(self):
         # pallas_segment_reduce_rm is the transpose-free twin used to keep
         # the training backward entirely in the row-gather domain
