@@ -160,8 +160,7 @@ def get_train_core_windowed(settings: CloudSettings, width: int, height: int,
                                axis=1)
         dsorted = tile_bwd.pallas_composite_backward(
             params_sorted, start, count, gbar, settings, width, height,
-            interpret=interpret, full_width=True, y0=y0,
-            full_height=full_height,
+            interpret=interpret, y0=y0, full_height=full_height,
         )
         # sorted pair order -> pre-sort slot order (contiguous per gaussian);
         # column-split per the gather cliff model (sub-64-MiB sub-tables

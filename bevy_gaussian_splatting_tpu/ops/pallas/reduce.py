@@ -131,161 +131,6 @@ def _reduce_kernel(
     out_dma.wait()
 
 
-def _reduce_kernel_rm(
-    g0_ref,  # scalar prefetch [num_chunks] i32 (shared with expansion)
-    dslot_hbm,  # [P_pad, CW] f32 ANY — per-pair grad ROWS, slot order
-    table_hbm,  # [8, N_pad] f32 ANY — row 0 = cum (shared with expansion)
-    zeros_hbm,  # [N_out, CW] f32 ANY — donated into out (unread)
-    out_hbm,  # [N_out, CW] f32 ANY output (zeros-aliased)
-    dch_vmem,  # [2, CHUNK, CW]
-    cum_vmem,  # [2, 8, WIN]
-    acc_vmem,  # [WIN, CW] merge/accumulate staging
-    dsem,
-    csem,
-    msem,
-    osem,
-    *,
-    num_chunks: int,
-):
-    """Row-major twin of _reduce_kernel: grads arrive as [CHUNK, CW] row
-    blocks and leave as [WIN, CW] row windows, so the caller needs NO
-    transposes around the inv_pair / rank gathers (row-gather domain).
-    The one-hot matmul flips sides: out[r, ch] = sum_i oh[i, r] dch[i, ch]."""
-    c = pl.program_id(0)
-
-    def base_of(chunk_idx):
-        g1 = jnp.maximum(g0_ref[chunk_idx] - 1, 0)
-        return pl.multiple_of((g1 // 128) * 128, 128)
-
-    def dma_dslot(slot, chunk_idx):
-        return pltpu.make_async_copy(
-            dslot_hbm.at[pl.ds(chunk_idx * CHUNK, CHUNK), :],
-            dch_vmem.at[slot],
-            dsem.at[slot],
-        )
-
-    def dma_cum(slot, chunk_idx):
-        return pltpu.make_async_copy(
-            table_hbm.at[:, pl.ds(base_of(chunk_idx), WIN)],
-            cum_vmem.at[slot],
-            csem.at[slot],
-        )
-
-    @pl.when(c == 0)
-    def _():
-        dma_dslot(0, 0).start()
-        dma_cum(0, 0).start()
-
-    @pl.when(c + 1 < num_chunks)
-    def _():
-        dma_dslot((c + 1) % 2, c + 1).start()
-        dma_cum((c + 1) % 2, c + 1).start()
-
-    base = base_of(c)
-    merge_dma = pltpu.make_async_copy(
-        out_hbm.at[pl.ds(base, WIN), :], acc_vmem, msem
-    )
-    merge_dma.start()
-
-    dma_dslot(c % 2, c).wait()
-    dma_cum(c % 2, c).wait()
-    dch = dch_vmem[c % 2]  # [CHUNK, CW]
-    cum_row = cum_vmem[c % 2][0:1, :]  # [1, WIN]
-
-    slot_col = jnp.float32(c * CHUNK) + jax.lax.broadcasted_iota(
-        jnp.int32, (CHUNK, 1), 0
-    ).astype(jnp.float32)
-    le = cum_row <= slot_col  # [CHUNK, WIN]
-    owner_col = jnp.sum(le.astype(jnp.float32), axis=1, keepdims=True)
-    jota = jax.lax.broadcasted_iota(jnp.int32, (1, WIN), 1).astype(
-        jnp.float32
-    )
-    oh = (owner_col == jota).astype(jnp.float32)  # [CHUNK, WIN]
-
-    # local[r, ch] = sum_i oh[i, r] dch[i, ch] — f32-exact on the MXU
-    local = jax.lax.dot_general(
-        oh,
-        dch,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # [WIN, CW]
-
-    j0 = (g0_ref[c] - base).astype(jnp.float32)
-    row = jax.lax.broadcasted_iota(jnp.int32, (WIN, 1), 0).astype(jnp.float32)
-    merge_dma.wait()
-    existing = acc_vmem[...]
-    merged = jnp.where(
-        row < j0, existing, jnp.where(row == j0, existing + local, local)
-    )
-    acc_vmem[...] = merged
-    out_dma = pltpu.make_async_copy(
-        acc_vmem, out_hbm.at[pl.ds(base, WIN), :], osem
-    )
-    out_dma.start()
-    out_dma.wait()
-
-
-def pallas_segment_reduce_rm(
-    dslot: jnp.ndarray,  # [P, CW] f32 per-pair grad rows, slot order
-    table: jnp.ndarray,  # [8, N_pad] f32 expansion table (row 0 = cum)
-    g0s: jnp.ndarray,  # [num_chunks] i32 expansion chunk owners
-    n: int,  # gaussian count (output rows before padding)
-    interpret: bool = False,
-) -> jnp.ndarray:
-    """Row-major segmented reduce -> [n, CW] per-rank gradient rows.
-
-    Same math as :func:`pallas_segment_reduce` but inputs/outputs live in the
-    row-gather domain, eliminating the [CW, P] <-> [P, CW] transposes the
-    lane-major version forces on the training backward (each ~P*CW*4 bytes
-    through HBM twice)."""
-    p, cw = dslot.shape
-    num_chunks = int(g0s.shape[0])
-    p_pad = num_chunks * CHUNK
-    if p_pad != p:
-        dslot = jnp.pad(dslot, ((0, p_pad - p), (0, 0)))
-    n_out = ((n + WIN + 127) // 128) * 128
-
-    kernel = functools.partial(_reduce_kernel_rm, num_chunks=num_chunks)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(num_chunks,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # donated zeros
-        ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-        scratch_shapes=[
-            pltpu.VMEM((2, CHUNK, cw), jnp.float32),
-            pltpu.VMEM((2, 8, WIN), jnp.float32),
-            pltpu.VMEM((WIN, cw), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-        ],
-    )
-
-    out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((n_out, cw), jnp.float32),
-        grid_spec=grid_spec,
-        interpret=interpret,
-        # flattened inputs: [g0s, dslot, table, zeros] -> zeros (index 3)
-        # donated as output 0
-        input_output_aliases={3: 0},
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(
-        g0s.astype(jnp.int32),
-        dslot,
-        table,
-        jnp.zeros((n_out, cw), jnp.float32),
-    )
-    return out[:n, :]
-
-
 def pallas_segment_reduce(
     dslot_t: jnp.ndarray,  # [CW, P] f32 per-pair grads, slot order in lanes
     table: jnp.ndarray,  # [8, N_pad] f32 expansion table (row 0 = cum)

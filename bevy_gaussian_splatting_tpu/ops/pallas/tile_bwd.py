@@ -424,9 +424,10 @@ def pallas_composite_backward(
     come back as exact zeros via the donated zero-initialized output.
 
     ``full_width=True`` returns the kernel's native padded width [P, PW]
-    (zero gradient columns kept): 64-byte rows make the downstream
-    ``dsorted[inv_pair]`` reorder run at the fast row-gather rate (measured
-    ~7 ns/row at 16 f32 columns vs ~27 ns/row at 10).
+    (zero gradient columns kept) for tooling; the production training core
+    takes the default live-width view — row-gather rate depends only on the
+    TABLE SIZE (sharp 64 MiB cliff, tools/profile_bwd_gather.py), so the
+    caller column-splits gathers instead of padding rows to 64 B.
 
     ``y0``/``full_height``: full-frame pixel geometry for sharded band
     rendering (see pallas_forward_raw); defaults are single-chip exact."""

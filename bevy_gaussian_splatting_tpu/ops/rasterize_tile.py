@@ -503,8 +503,10 @@ def searchsorted_wide(
     nblocks = (n + stride - 1) // stride
     pad = nblocks * stride - n
     if pad:
+        # pad with the array dtype's own max so the sorted invariant holds
+        # for any integer dtype; the final clamp handles queries == max
         arr = jnp.concatenate(
-            [arr, jnp.full((pad,), jnp.iinfo(jnp.int32).max, arr.dtype)]
+            [arr, jnp.full((pad,), jnp.iinfo(arr.dtype).max, arr.dtype)]
         )
     blocks = arr.reshape(nblocks, stride)
     sub = blocks[:, 0]  # arr[j * stride]
@@ -521,7 +523,9 @@ def searchsorted_wide(
     blk = jnp.clip(coarse - 1, 0, nblocks - 1)
     rows = blocks[blk]  # [Q, stride] row gather of aligned blocks
     inner = jnp.sum(below(rows, qcol), axis=1)
-    return (blk * stride + inner).astype(jnp.int32)
+    # clamp to n: a side="right" query equal to the dtype max also counts
+    # the pad sentinels in the last block
+    return jnp.minimum(blk * stride + inner, n).astype(jnp.int32)
 
 
 # ---------------------------------------------------------------------------

@@ -177,9 +177,9 @@ def _local_band_render(
         # y-offset (full_height static), so every fragment evaluates in exact
         # full-frame coordinates for all modes (incl. the 2DGS surfel
         # homography, whose NDC frame cannot be rebuilt band-locally).
-        # get_train_core gives the sharded training step the scatter-free
-        # per-gaussian gradient reduction; in forward-only renders the unused
-        # inverse artifacts are DCE'd.
+        # get_train_core_windowed gives the sharded training step the
+        # windowed scatter-free gradient reduction; in forward-only renders
+        # the unused inverse artifacts are DCE'd.
         count = jnp.minimum(end - start, k_max)
         inv_pair, table, g0s, rank = bins[4:8]
         core = get_train_core_windowed(

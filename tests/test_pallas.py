@@ -205,6 +205,28 @@ class TestPallasExpansion:
     def test_parity_basic(self):
         self._compare(CLOUD, p_max=1 << 13)
 
+    def test_gather_col_splits_exact(self):
+        # the >64 MiB split path never triggers at CPU-test sizes; force it
+        # by shrinking the cliff constant and assert piecewise == monolithic
+        from bevy_gaussian_splatting_tpu.ops.pallas import core as pc
+
+        rng = np.random.default_rng(5)
+        table = jnp.asarray(rng.standard_normal((4096, 16)), jnp.float32)
+        idx = jnp.asarray(rng.integers(0, 4096, 5000), jnp.int32)
+        old = pc._GATHER_CLIFF_BYTES
+        try:
+            pc._GATHER_CLIFF_BYTES = 4096 * 32  # 8-col pieces exactly fit
+            for c_live in (10, 16, 8, 9):
+                splits = pc._gather_col_splits(4096, c_live)
+                if c_live > 8:
+                    assert len(splits) > 1, (c_live, splits)
+                got = pc._gather_rows(table, idx, c_live)
+                np.testing.assert_array_equal(
+                    _np(got), _np(table[idx][:, :c_live]), err_msg=str(c_live)
+                )
+        finally:
+            pc._GATHER_CLIFF_BYTES = old
+
     def test_searchsorted_wide_matches_jnp(self):
         # the two-level wide search behind tile_ranges / the expansion's g0s
         # must equal jnp.searchsorted exactly, both sides, including
@@ -228,43 +250,6 @@ class TestPallasExpansion:
                 np.testing.assert_array_equal(
                     _np(got), _np(ref), err_msg=f"n={n} side={side}"
                 )
-
-    def test_rowmajor_reduce_matches_lanemajor(self):
-        # pallas_segment_reduce_rm is the transpose-free twin used to keep
-        # the training backward entirely in the row-gather domain
-        from bevy_gaussian_splatting_tpu.ops import sort as sort_ops
-        from bevy_gaussian_splatting_tpu.ops.pallas.reduce import (
-            pallas_segment_reduce,
-            pallas_segment_reduce_rm,
-        )
-        from bevy_gaussian_splatting_tpu.ops.project import project_gaussians
-        from bevy_gaussian_splatting_tpu.ops.rasterize_tile import bin_gaussians
-
-        settings = bgs.CloudSettings()
-        cam = CAM
-        mt = jnp.eye(4, dtype=jnp.float32)
-        clip_from_world = cam.clip_from_view @ cam.view_from_world
-        splats = project_gaussians(CLOUD, cam, settings, mt)
-        back_key = sort_ops.radix_depth_key(
-            CLOUD.position, mt, clip_from_world, cam.world_position,
-            settings.radix_sort_depth_bits.bits,
-        )
-        splats["sort_key"] = back_key
-        splats["mask"] = splats["mask"] & (back_key != sort_ops.SENTINEL_KEY)
-        got = bin_gaussians(
-            splats, settings, 128, 128, 1 << 13, with_inverse=True,
-            expand="pallas", interpret=True,
-        )
-        table, g0s, rank = got[5], got[6], got[7]
-        n = _np(rank).shape[0]
-        p = _np(got[0]).shape[0]
-        rng = np.random.default_rng(3)
-        dslot = jnp.asarray(rng.standard_normal((p, 16)), jnp.float32)
-        a = pallas_segment_reduce(dslot.T, table, g0s, n, interpret=True)
-        b = pallas_segment_reduce_rm(dslot, table, g0s, n, interpret=True)
-        # contraction axes differ between the two kernels, so segment sums
-        # accumulate in a different order: f32-roundoff-level differences only
-        np.testing.assert_allclose(_np(b), _np(a.T), atol=2e-6)
 
     def test_parity_overflow_truncation(self):
         # budget far below the real pair count: farthest pairs truncated

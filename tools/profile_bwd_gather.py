@@ -138,10 +138,6 @@ def main():
                 params_sorted, start, count, gbar, settings, width, height,
                 full_width=True,
             )
-            from bevy_gaussian_splatting_tpu.ops.pallas.reduce import (
-                pallas_segment_reduce_rm,
-            )
-
             def pad16(dt):
                 # the lane-major reduce DMAs [cw, CHUNK] slices: cw must be
                 # a sublane multiple (Mosaic tiling) -> pad rows to 16
@@ -158,20 +154,8 @@ def main():
             elif variant == "nogath":
                 dslot_t = dsorted[:, :c_par].T * (1.0 + 1e-9 * inv_pair[0])
                 dslot_t = pad16(dslot_t)
-            if variant == "rm":
-                # row-major end to end: no transposes around the two gathers
-                dslot = dsorted[inv_pair]
-                drank = pallas_segment_reduce_rm(dslot, table, g0s, nn)
-                dparams = drank[rank][:, :c_par]
-            elif variant == "rm8x2":
-                a = dsorted[:, :8][inv_pair]
-                b = dsorted[:, 8:c_par][inv_pair]
-                dslot = jnp.concatenate([a, b], axis=1)
-                drank = pallas_segment_reduce_rm(dslot, table, g0s, nn)
-                dparams = drank[rank]
-            else:
-                drank = pallas_segment_reduce(dslot_t, table, g0s, nn)
-                dparams = drank.T[rank][:, :c_par]
+            drank = pallas_segment_reduce(dslot_t, table, g0s, nn)
+            dparams = drank.T[rank][:, :c_par]
             f0 = jax.dtypes.float0
 
             def nil(a):
@@ -196,7 +180,7 @@ def main():
 
     results = {}
     grads = {}
-    for variant in ("base", "v10", "v8x2", "rm", "rm8x2", "nogath"):
+    for variant in ("base", "v10", "v8x2", "nogath"):
         fn = make_step(variant)
         t = timeit(f"params-leaf fwd+bwd [{variant}]", fn, params, g_s, start,
                    count, inv_pair, table, g0s, rank)
@@ -204,7 +188,7 @@ def main():
         l, g = fn(params, g_s, start, count, inv_pair, table, g0s, rank)
         grads[variant] = np.asarray(g[:, :c_par])
 
-    for v in ("v10", "v8x2", "rm", "rm8x2"):
+    for v in ("v10", "v8x2"):
         err = np.abs(grads[v] - grads["base"]).max()
         log(f"grad parity {v} vs base: max|diff| = {err:.2e}")
     return 0
