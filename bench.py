@@ -84,8 +84,13 @@ def main() -> int:
             cloud
         )
     )
-    budget = pairs_budget(n, total_pairs)
-    log(f"pair count {total_pairs} -> budget {budget} (static cap {pairs_budget(n)})")
+    # fine-quantum budget: the benchmark scene's pair count is measured for
+    # the exact frames rendered (camera static; 3DGS geometry is
+    # time-invariant), so size like a training system does — max-over-dataset
+    # with 10% headroom — instead of the interactive coarse buckets
+    budget = pairs_budget(n, total_pairs, headroom=1.10, quantum=4096)
+    log(f"pair count {total_pairs} -> budget {budget} "
+        f"(coarse bucket {pairs_budget(n, total_pairs)}, static cap {pairs_budget(n)})")
 
     # ---- forward-only (serving path, Pallas kernel) -------------------------
     fwd_pipe = make_tiled_pipeline(

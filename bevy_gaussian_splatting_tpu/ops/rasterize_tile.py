@@ -54,19 +54,35 @@ def supports(settings: CloudSettings) -> bool:
     return True
 
 
-def pairs_budget(n: int, hint: Optional[int] = None) -> int:
+def pairs_budget(
+    n: int,
+    hint: Optional[int] = None,
+    headroom: float = 1.25,
+    quantum: Optional[int] = None,
+) -> int:
     """Static (gaussian, tile) pair capacity, bucketed to limit recompiles.
 
     Without a hint: a conservative 6N (capped).  With a hint (an exact or
     estimated pair count from :func:`pair_count`), the budget becomes the next
-    1-1.5-2-3 bucket above ``1.25 * hint`` — typical scenes average 1-3 tiles
-    per splat, so this cuts the expansion/sort/gather footprint several-fold.
-    Overflow truncates the farthest pairs (expansion is depth-ordered), which
-    degrades gracefully like the reference's draw-indirect count cap."""
+    1-1.5-2-3 bucket above ``headroom * hint`` — typical scenes average 1-3
+    tiles per splat, so this cuts the expansion/sort/gather footprint
+    several-fold.  Overflow truncates the farthest pairs (expansion is
+    depth-ordered), which degrades gracefully like the reference's
+    draw-indirect count cap.
+
+    ``quantum``: fine-grained mode for configs whose pair count is measured
+    for the workload itself (a training dataset's max over cameras, a fixed
+    benchmark scene): round ``headroom * hint`` to the next multiple of
+    ``quantum`` instead of the coarse buckets.  Every P-proportional stage
+    (pair sort, expansion, gathers, inverse sort) scales with the BUDGET, not
+    the real pair count, so coarse buckets can cost ~40% extra; the caller
+    accepts a recompile whenever the measured count crosses a quantum."""
     cap = int(min(max(6 * n, 1 << 14), 3 << 21))
     if hint is None:
         return cap
-    need = max(int(hint * 1.25) + 1, 1 << 14)
+    need = max(int(hint * headroom) + 1, 1 << 14)
+    if quantum is not None:
+        return int(min((need + quantum - 1) // quantum * quantum, cap))
     bucket = 1 << 14
     while bucket < need:
         bucket *= 2

@@ -190,6 +190,15 @@ class TestAdaptiveBudget:
             cur = pairs_budget(1_000_000, hint)
             assert cur >= prev
             prev = cur
+        # fine-quantum mode: next quantum multiple above headroom*hint,
+        # still >= hint, still capped
+        q = pairs_budget(1_000_000, 1_459_187, headroom=1.10, quantum=4096)
+        assert q % 4096 == 0
+        assert 1_459_187 * 1.10 <= q < 1_459_187 * 1.10 + 4096
+        assert (
+            pairs_budget(1_000_000, 10**9, quantum=4096)
+            == pairs_budget(1_000_000)
+        )
 
     def test_parity_with_tight_budget(self):
         from bevy_gaussian_splatting_tpu.ops.rasterize_tile import (
