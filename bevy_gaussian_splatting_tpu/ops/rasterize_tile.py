@@ -258,7 +258,7 @@ def segment_sum_contiguous(
     return jnp.where((cnt_cloud > 0)[:, None], out, 0.0)
 
 
-def front_depth_perm(back_key: jnp.ndarray, active=None) -> jnp.ndarray:
+def front_depth_perm(back_key: jnp.ndarray, active=None, carry=None):
     """Front-to-back permutation: exact reverse of the reference's stable
     back-to-front radix order (key ascending, index ascending), realized
     directly as (complemented key ascending, reversed index ascending).
@@ -268,7 +268,12 @@ def front_depth_perm(back_key: jnp.ndarray, active=None) -> jnp.ndarray:
     their back key is 0xFFFFFFFF, so their front key is 0).  Actives stay in
     exact relative depth order, so the born pair sequence is unchanged; the
     active suffix is then contiguous, which the Pallas expansion kernel
-    requires (owner advances <= 1 per slot)."""
+    requires (owner advances <= 1 per slot).
+
+    ``carry``: optional same-length array returned permuted as carry[perm]
+    (riding the sort as one extra operand costs ~1.3 ms at 1M vs ~7 ns/row
+    for a separate gather — the sort applies its permutation to every
+    operand, and pos[j] IS that permutation in reversed coordinates)."""
     n = back_key.shape[0]
     front_key = jnp.uint32(0xFFFFFFFF) - back_key
     if active is not None:
@@ -276,12 +281,19 @@ def front_depth_perm(back_key: jnp.ndarray, active=None) -> jnp.ndarray:
     # ties must break by DESCENDING original index (= ascending reversed
     # index): stable-sort the REVERSED key array, then map positions back —
     # one sort operand fewer than carrying an explicit rev_idx key
-    _, pos = jax.lax.sort(
-        (front_key[::-1], jnp.arange(n, dtype=jnp.int32)),
+    if carry is None:
+        _, pos = jax.lax.sort(
+            (front_key[::-1], jnp.arange(n, dtype=jnp.int32)),
+            num_keys=1,
+            is_stable=True,
+        )
+        return jnp.int32(n - 1) - pos
+    _, pos, carried = jax.lax.sort(
+        (front_key[::-1], jnp.arange(n, dtype=jnp.int32), carry[::-1]),
         num_keys=1,
         is_stable=True,
     )
-    return jnp.int32(n - 1) - pos
+    return jnp.int32(n - 1) - pos, carried
 
 
 def back_sorted_entry_indices(back_key: jnp.ndarray):
@@ -373,24 +385,44 @@ def bin_gaussians(
     # with ties broken by DESCENDING cloud index (stable painter reversed).
     # Inactive gaussians are compacted to the front (identical pair output;
     # see front_depth_perm) — the Pallas expansion requires it.
-    if perm is None:
-        perm = front_depth_perm(splats["sort_key"], active=active)
-    elif expand == "pallas":
-        raise ValueError(
-            "pallas expansion needs the internally built compacting perm"
+    if perm is None and tx_count <= 127 and ty_count <= 127:
+        # bit-pack the five binning columns into one i32 carried THROUGH the
+        # depth sort (one extra sort operand ~1.3 ms at 1M) instead of a
+        # separate [N, 5] row gather by perm (~7 ms at 1M)
+        packed_pre = (
+            tx0
+            | (ty0 << 7)
+            | ((tx1 - tx0 + 1) << 14)
+            | ((ty1 - ty0 + 1) << 21)
+            | (active.astype(jnp.int32) << 28)
         )
+        perm, packed = front_depth_perm(
+            splats["sort_key"], active=active, carry=packed_pre
+        )
+        tx0p = packed & 0x7F
+        ty0p = (packed >> 7) & 0x7F
+        rect_wp = (packed >> 14) & 0x7F
+        rect_hp = (packed >> 21) & 0x7F
+        counts = jnp.where((packed >> 28) > 0, rect_wp * rect_hp, 0)
+    else:
+        if perm is None:
+            perm = front_depth_perm(splats["sort_key"], active=active)
+        elif expand == "pallas":
+            raise ValueError(
+                "pallas expansion needs the internally built compacting perm"
+            )
 
-    # ONE wide gather by perm (row gathers cost ~7 ns/row regardless of
-    # width, so five 1D gathers would cost 5x this)
-    pre = jnp.stack(
-        [tx0, ty0, tx1 - tx0 + 1, ty1 - ty0 + 1, active.astype(jnp.int32)],
-        axis=1,
-    )[perm]
-    tx0p = pre[:, 0]
-    ty0p = pre[:, 1]
-    rect_wp = pre[:, 2]
-    rect_hp = pre[:, 3]
-    counts = jnp.where(pre[:, 4] > 0, rect_wp * rect_hp, 0)
+        # ONE wide gather by perm (row gathers cost ~7 ns/row regardless of
+        # width, so five 1D gathers would cost 5x this)
+        pre = jnp.stack(
+            [tx0, ty0, tx1 - tx0 + 1, ty1 - ty0 + 1, active.astype(jnp.int32)],
+            axis=1,
+        )[perm]
+        tx0p = pre[:, 0]
+        ty0p = pre[:, 1]
+        rect_wp = pre[:, 2]
+        rect_hp = pre[:, 3]
+        counts = jnp.where(pre[:, 4] > 0, rect_wp * rect_hp, 0)
 
     cum = jnp.cumsum(counts)  # inclusive
     total = cum[-1]
