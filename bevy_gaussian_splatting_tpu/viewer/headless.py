@@ -21,6 +21,11 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--input-cloud", type=str, default=None,
                    help=".ply/.gcloud/.ply4d/.gc4d/.npz cloud file (utils.rs input_cloud)")
+    p.add_argument("--input-stream", type=str, default=None,
+                   help="streaming-scene directory (stream/scene.py manifest);"
+                        " loads chunks within --stream-radius of the eye")
+    p.add_argument("--stream-radius", type=float, default=1e9,
+                   help="chunk residency radius for --input-stream")
     p.add_argument("--input-scene", type=str, default=None,
                    help=".gltf/.glb KHR_gaussian_splatting scene (utils.rs input_scene)")
     p.add_argument("--gaussian-count", type=int, default=10_000,
@@ -73,7 +78,24 @@ def main(argv=None) -> int:
     from bevy_gaussian_splatting_tpu.utils.image import non_black_pixel_count, save_png
 
     scene = None
-    if args.input_scene:
+    if args.input_stream:
+        from bevy_gaussian_splatting_tpu.stream import StreamingCloudScene
+
+        stream = StreamingCloudScene(
+            args.input_stream, radius=args.stream_radius, background=False
+        )
+        stream.update(tuple(args.eye))
+        stream.wait_idle()
+        cloud = stream.resident_cloud()
+        if cloud is None:
+            print("no chunks within --stream-radius of the eye", flush=True)
+            return 1
+        print(
+            f"streaming: {len(stream.resident_ids())}/{len(stream.entries)} "
+            f"chunks resident ({len(cloud)} gaussians padded)",
+            flush=True,
+        )
+    elif args.input_scene:
         from bevy_gaussian_splatting_tpu.io.loader import load_scene
 
         scene = load_scene(args.input_scene)
