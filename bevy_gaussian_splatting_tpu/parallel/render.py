@@ -244,6 +244,59 @@ def make_sharded_render(
     return jax.jit(fn)
 
 
+def make_sharded_render_multicam(
+    mesh: Mesh,
+    settings: CloudSettings,
+    width: int,
+    height: int,
+    compositor: str = "xla",
+):
+    """Camera-parallel x pixel-parallel render on a 2D (camera, tiles) mesh.
+
+    The camera batch splits across the ``camera`` axis (replacing the
+    reference's per-camera sorted-entry chunks, src/sort/mod.rs:347-354, with
+    a mesh dimension); gaussians shard across the ``tiles`` axis and are
+    replicated over cameras, so each camera row runs the standard band
+    pipeline (local projection -> all-gather over its tiles row -> band
+    compositing).  Input cameras are a stacked pytree with leading axis C
+    divisible by the camera-axis size; output is the replicated-assembly
+    [C, H, W, 4]."""
+    if CAMERA_AXIS not in mesh.shape:
+        raise ValueError("mesh needs a camera axis (make_mesh(camera_parallel=k))")
+    n_bands = mesh.shape[TILES_AXIS]
+    if height % (n_bands * TILE):
+        raise ValueError(
+            f"height {height} must be divisible by n_bands*TILE = {n_bands * TILE}"
+        )
+
+    from jax import shard_map
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(TILES_AXIS), P(CAMERA_AXIS), P(), P(), P()),
+        out_specs=P(CAMERA_AXIS, TILES_AXIS),
+        check_vma=False,
+    )
+    def body(cloud_shard, cameras_shard, model_transform, background, time):
+        def one(camera):
+            return _local_band_render(
+                cloud_shard, camera, settings, model_transform, background,
+                time, width, height, n_bands, compositor=compositor,
+            )
+
+        return jax.vmap(one)(cameras_shard)
+
+    def fn(cloud, cameras, model_transform=None, background=None, time=0.0):
+        if model_transform is None:
+            model_transform = jnp.eye(4, dtype=jnp.float32)
+        if background is None:
+            background = jnp.zeros((4,), jnp.float32)
+        return body(cloud, cameras, model_transform, background, jnp.float32(time))
+
+    return jax.jit(fn)
+
+
 # ---------------------------------------------------------------------------
 # Training
 # ---------------------------------------------------------------------------

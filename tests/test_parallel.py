@@ -101,6 +101,35 @@ class TestShardedRender:
         np.testing.assert_array_equal(a, b)
 
 
+class TestCameraParallel:
+    def test_2d_mesh_multicam_matches_vmap(self):
+        # (camera=2, tiles=4) mesh: camera batch splits across the camera
+        # axis; result must equal the single-device vmap batch renderer
+        from bevy_gaussian_splatting_tpu.parallel.render import (
+            make_sharded_render_multicam,
+        )
+        from bevy_gaussian_splatting_tpu.render.multi_camera import (
+            render_multi_camera,
+            stack_cameras,
+        )
+
+        mesh2d = make_mesh(8, camera_parallel=2)
+        assert dict(mesh2d.shape) == {"camera": 2, "tiles": 4}
+        settings = bgs.CloudSettings()
+        cloud = bgs.random_gaussians_3d_seeded(300, seed=5)
+        sharded = shard_cloud(cloud, mesh2d)
+        cams = [
+            bgs.Camera.create(eye=e, target=(0, 0, 0), width=64, height=64)
+            for e in ((0, 0, 60.0), (30.0, 10.0, 50.0))
+        ]
+        fn = make_sharded_render_multicam(mesh2d, settings, 64, 64)
+        imgs = fn(sharded, stack_cameras(cams))
+        assert imgs.shape == (2, 64, 64, 4)
+        padded = cloud.pad(multiple=max(256, 8 * 8))
+        ref = render_multi_camera(padded, cams, settings)
+        np.testing.assert_allclose(_np(imgs), _np(ref), atol=3e-5)
+
+
 class TestShardedTraining:
     def test_loss_decreases_and_grads_match(self, mesh):
         settings = bgs.CloudSettings(aabb=True)
