@@ -200,6 +200,55 @@ class TestAdaptiveBudget:
             == pairs_budget(1_000_000)
         )
 
+    def test_packed_carry_matches_gather_fallback(self):
+        # bin_gaussians bit-packs binning columns through the depth sort only
+        # when the tile grid fits 7 bits per axis; the big-grid gather
+        # fallback must produce identical pairs.  Compare a 2048-wide image
+        # (128 tile columns -> fallback) against itself via an external perm
+        # (which also forces the fallback) and the packed path on a small
+        # grid against the external-perm fallback.
+        from bevy_gaussian_splatting_tpu.ops import sort as sort_ops
+        from bevy_gaussian_splatting_tpu.ops.project import project_gaussians
+        from bevy_gaussian_splatting_tpu.ops.rasterize_tile import (
+            bin_gaussians,
+            front_depth_perm,
+        )
+
+        cloud = bgs.random_gaussians_3d_seeded(200, seed=8)
+        cam = bgs.Camera.create(
+            eye=(0, 0, 60.0), target=(0, 0, 0), width=128, height=128
+        )
+        settings = bgs.CloudSettings()
+        mt = jnp.eye(4, dtype=jnp.float32)
+        clip = cam.clip_from_view @ cam.view_from_world
+        splats = project_gaussians(cloud, cam, settings, mt)
+        back_key = sort_ops.radix_depth_key(
+            cloud.position, mt, clip, cam.world_position,
+            settings.radix_sort_depth_bits.bits,
+        )
+        splats["sort_key"] = back_key
+        mask = splats["mask"] & (back_key != sort_ops.SENTINEL_KEY)
+        splats["mask"] = mask
+
+        packed = bin_gaussians(splats, settings, 128, 128, 1 << 12)
+        # external perm forces the [N, 5] gather path (XLA expand only)
+        from bevy_gaussian_splatting_tpu.ops.rasterize_tile import (
+            _pixel_extents,
+        )
+
+        cx, cy, rx, ry = _pixel_extents(splats, settings, 128, 128)
+        active = mask & (rx > 0.0) & (ry > 0.0)
+        on = (cx + rx >= 0) & (cx - rx <= 128) & (cy + ry >= 0) & (cy - ry <= 128)
+        perm = front_depth_perm(back_key, active=active & on)
+        fallback = bin_gaussians(
+            splats, settings, 128, 128, 1 << 12, perm=perm
+        )
+        for i, name in ((0, "g_s"), (1, "tile_s"), (2, "valid_s")):
+            np.testing.assert_array_equal(
+                np.asarray(packed[i]), np.asarray(fallback[i]), err_msg=name
+            )
+        assert int(packed[3]) == int(fallback[3])
+
     def test_parity_with_tight_budget(self):
         from bevy_gaussian_splatting_tpu.ops.rasterize_tile import (
             pair_count,
