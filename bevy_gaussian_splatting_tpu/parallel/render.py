@@ -383,3 +383,66 @@ def make_train_step(
         return cloud, opt_state, loss
 
     return jax.jit(step), init
+
+
+def make_train_step_multicam(
+    mesh: Mesh,
+    settings: CloudSettings,
+    width: int,
+    height: int,
+    learning_rate: float = 1e-2,
+    compositor: str = "xla",
+):
+    """Camera-parallel x pixel-parallel training on a 2D (camera, tiles)
+    mesh: the view batch splits across the camera axis (data parallelism over
+    views — the multi-view 3DGS objective), gaussians shard across tiles.
+
+    Per step: each device renders its camera shard's bands, differentiates
+    its local MSE term, the all-gather transpose accumulates band
+    contributions into the tile-shard gradient, and one ``psum`` over the
+    camera axis all-reduces the parameter gradients (classic DP).  Targets
+    are [C, H, W, 4] sharded (camera, tiles)."""
+    import optax
+
+    n_bands = mesh.shape[TILES_AXIS]
+    from jax import shard_map
+
+    optimizer = optax.adam(learning_rate)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(TILES_AXIS), P(CAMERA_AXIS), P(), P(CAMERA_AXIS, TILES_AXIS)),
+        out_specs=(P(TILES_AXIS), P()),
+        check_vma=False,
+    )
+    def loss_and_grad(cloud_shard, cams_shard, time, target_shard):
+        cams_total = target_shard.shape[0] * mesh.shape[CAMERA_AXIS]
+
+        def local_loss(shard):
+            def one(camera, tgt):
+                img = _local_band_render(
+                    shard, camera, settings, jnp.eye(4, dtype=jnp.float32),
+                    jnp.zeros((4,), jnp.float32), time, width, height,
+                    n_bands, compositor=compositor,
+                )
+                return jnp.sum((img - tgt) ** 2)
+
+            per_cam = jax.vmap(one)(cams_shard, target_shard)
+            return jnp.sum(per_cam) / (cams_total * height * width * 4)
+
+        loss_local, grads = jax.value_and_grad(local_loss)(cloud_shard)
+        grads = jax.lax.psum(grads, CAMERA_AXIS)
+        loss = jax.lax.psum(loss_local, (CAMERA_AXIS, TILES_AXIS))
+        return grads, loss
+
+    def init(cloud):
+        return optimizer.init(cloud)
+
+    def step(cloud, opt_state, cameras, targets, time=0.0):
+        grads, loss = loss_and_grad(cloud, cameras, jnp.float32(time), targets)
+        updates, opt_state = optimizer.update(grads, opt_state, cloud)
+        cloud = optax.apply_updates(cloud, updates)
+        return cloud, opt_state, loss
+
+    return jax.jit(step), init

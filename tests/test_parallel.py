@@ -130,6 +130,63 @@ class TestCameraParallel:
         np.testing.assert_allclose(_np(imgs), _np(ref), atol=3e-5)
 
 
+    def test_2d_mesh_multicam_train_grads_match(self):
+        # camera-parallel training: one step on the (2, 4) mesh must match a
+        # single-device step on the mean multi-view objective
+        import dataclasses as dc
+
+        import optax
+
+        from bevy_gaussian_splatting_tpu.parallel.render import (
+            make_train_step_multicam,
+        )
+        from bevy_gaussian_splatting_tpu.render.multi_camera import (
+            render_multi_camera,
+            stack_cameras,
+        )
+
+        mesh2d = make_mesh(8, camera_parallel=2)
+        settings = bgs.CloudSettings()
+        cloud = bgs.random_gaussians_3d_seeded(200, seed=6)
+        padded = cloud.pad(multiple=max(256, 8 * 8))
+        cams = [
+            bgs.Camera.create(eye=e, target=(0, 0, 0), width=64, height=64)
+            for e in ((0, 0, 60.0), (30.0, 10.0, 50.0))
+        ]
+        targets = render_multi_camera(padded, cams, settings) * 0.9
+
+        # single-device reference step (differentiable per-camera renders)
+        def full_loss(c):
+            imgs = jnp.stack([
+                render_tiled(
+                    c, cam, settings, width=64, height=64, differentiable=True
+                )
+                for cam in cams
+            ])
+            return jnp.mean((imgs - targets) ** 2)
+
+        opt = optax.adam(1e-3)
+        g_ref = jax.grad(full_loss)(padded)
+        upd, _ = opt.update(g_ref, opt.init(padded))
+        c_ref = optax.apply_updates(padded, upd)
+
+        sharded = shard_cloud(cloud, mesh2d)
+        step, init = make_train_step_multicam(
+            mesh2d, settings, 64, 64, learning_rate=1e-3
+        )
+        c_new, _, loss = step(
+            sharded, init(sharded), stack_cameras(cams), targets
+        )
+        np.testing.assert_allclose(
+            float(loss), float(full_loss(padded)), rtol=1e-5
+        )
+        for f in ("position_visibility", "scale_opacity", "spherical_harmonic"):
+            np.testing.assert_allclose(
+                _np(getattr(c_new, f)), _np(getattr(c_ref, f)),
+                atol=2e-4, err_msg=f,
+            )
+
+
 class TestShardedTraining:
     def test_loss_decreases_and_grads_match(self, mesh):
         settings = bgs.CloudSettings(aabb=True)
