@@ -950,17 +950,22 @@ def render_tiled(
         # directly, so the pair-sorted buffer is used as-is after one gather.
         # No validity zeroing needed: tile ranges never cover the sorted
         # sentinel suffix, so the kernel never reads those rows.
+        from bevy_gaussian_splatting_tpu.ops.pallas.core import _gather_rows
         from bevy_gaussian_splatting_tpu.ops.pallas.tile_fwd import (
             pallas_composite_tiles,
         )
 
-        params_sorted = params[g_s]
+        # cliff-model column split (matters for the 18-col 2DGS layout,
+        # whose 1M-row table is above the 64 MiB gather cliff)
+        params_sorted = _gather_rows(params, g_s, params.shape[1])
         return pallas_composite_tiles(
             params_sorted, start, count, settings, width, height,
             background=background, interpret=interpret,
         )
 
-    params_sorted = params[g_s]
+    from bevy_gaussian_splatting_tpu.ops.pallas.core import _gather_rows
+
+    params_sorted = _gather_rows(params, g_s, params.shape[1])
     return composite_tiles(
         params_sorted, valid_s, start, end, settings, width, height,
         k_max=k_max, chunk=chunk, background=background,

@@ -79,7 +79,7 @@ def main():
             lambda c: rt.pair_count(c, camera, settings, width=width, height=height)
         )(cloud)
     )
-    budget = rt.pairs_budget(n, total_pairs)
+    budget = rt.pairs_budget(n, total_pairs, headroom=1.10, quantum=4096)
     k_max = rt.tile_budget(n)
     num_tiles = (width // rt.TILE) * (height // rt.TILE)
     log(f"pairs {total_pairs} -> budget {budget} "
@@ -143,7 +143,19 @@ def main():
                 # a sublane multiple (Mosaic tiling) -> pad rows to 16
                 return jnp.pad(dt, ((0, 16 - dt.shape[0]), (0, 0)))
 
-            if variant == "base":
+            if variant == "prod":
+                # production path (ops/pallas/core.py): live-width kernel
+                # view + cliff-model gather split + sublane pad
+                from bevy_gaussian_splatting_tpu.ops.pallas.core import (
+                    _gather_rows,
+                )
+
+                dslot_t = _gather_rows(dsorted, inv_pair, c_par).T
+                if dslot_t.shape[0] % 8:
+                    dslot_t = jnp.pad(
+                        dslot_t, ((0, 8 - dslot_t.shape[0] % 8), (0, 0))
+                    )
+            elif variant == "base":
                 dslot_t = dsorted[inv_pair].T
             elif variant == "v10":
                 dslot_t = pad16(dsorted[:, :c_par][inv_pair].T)
@@ -180,7 +192,7 @@ def main():
 
     results = {}
     grads = {}
-    for variant in ("base", "v10", "v8x2", "nogath"):
+    for variant in ("prod", "base", "v8x2", "nogath"):
         fn = make_step(variant)
         t = timeit(f"params-leaf fwd+bwd [{variant}]", fn, params, g_s, start,
                    count, inv_pair, table, g0s, rank)
@@ -188,9 +200,9 @@ def main():
         l, g = fn(params, g_s, start, count, inv_pair, table, g0s, rank)
         grads[variant] = np.asarray(g[:, :c_par])
 
-    for v in ("v10", "v8x2"):
-        err = np.abs(grads[v] - grads["base"]).max()
-        log(f"grad parity {v} vs base: max|diff| = {err:.2e}")
+    for v in ("base", "v8x2"):
+        err = np.abs(grads[v] - grads["prod"]).max()
+        log(f"grad parity {v} vs prod: max|diff| = {err:.2e}")
     return 0
 
 
