@@ -389,12 +389,18 @@ def bin_gaussians(
         # bit-pack the five binning columns into one i32 carried THROUGH the
         # depth sort (one extra sort operand ~1.3 ms at 1M) instead of a
         # separate [N, 5] row gather by perm (~7 ms at 1M)
-        packed_pre = (
+        # inactive rows can carry NaN-derived garbage in tx0/ty0 (masked
+        # projections divide by ~0); the old gather path neutralized them via
+        # the separate active column, here select the whole packed word on
+        # the well-defined active bool instead (NaN comparisons are False)
+        packed_pre = jnp.where(
+            active,
             tx0
             | (ty0 << 7)
             | ((tx1 - tx0 + 1) << 14)
             | ((ty1 - ty0 + 1) << 21)
-            | (active.astype(jnp.int32) << 28)
+            | (1 << 28),
+            0,
         )
         perm, packed = front_depth_perm(
             splats["sort_key"], active=active, carry=packed_pre
@@ -518,6 +524,15 @@ def bin_gaussians(
     oc = jnp.stack([offsets, counts], axis=1)[rank]  # one gather, not two
     return (g_s, tile_s, valid_s, total, inv_pair, gidx, oc[:, 0],
             oc[:, 1])
+
+
+def _serving_params_gather(params, g_s):
+    """params[g_s] through the gather-cliff column-split cost model
+    (ops/pallas/core.py) — matters for the 18-col 2DGS layout, whose 1M-row
+    table sits above the 64 MiB gather cliff."""
+    from bevy_gaussian_splatting_tpu.ops.pallas.core import _gather_rows
+
+    return _gather_rows(params, g_s, params.shape[1])
 
 
 def tile_ranges(pair_tile: jnp.ndarray, num_tiles: int):
@@ -950,22 +965,17 @@ def render_tiled(
         # directly, so the pair-sorted buffer is used as-is after one gather.
         # No validity zeroing needed: tile ranges never cover the sorted
         # sentinel suffix, so the kernel never reads those rows.
-        from bevy_gaussian_splatting_tpu.ops.pallas.core import _gather_rows
         from bevy_gaussian_splatting_tpu.ops.pallas.tile_fwd import (
             pallas_composite_tiles,
         )
 
-        # cliff-model column split (matters for the 18-col 2DGS layout,
-        # whose 1M-row table is above the 64 MiB gather cliff)
-        params_sorted = _gather_rows(params, g_s, params.shape[1])
+        params_sorted = _serving_params_gather(params, g_s)
         return pallas_composite_tiles(
             params_sorted, start, count, settings, width, height,
             background=background, interpret=interpret,
         )
 
-    from bevy_gaussian_splatting_tpu.ops.pallas.core import _gather_rows
-
-    params_sorted = _gather_rows(params, g_s, params.shape[1])
+    params_sorted = _serving_params_gather(params, g_s)
     return composite_tiles(
         params_sorted, valid_s, start, end, settings, width, height,
         k_max=k_max, chunk=chunk, background=background,

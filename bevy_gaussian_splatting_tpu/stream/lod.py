@@ -19,9 +19,10 @@ from typing import List, Sequence
 
 import dataclasses
 
-import jax
 import jax.numpy as jnp
 import numpy as np
+
+from bevy_gaussian_splatting_tpu.stream.slice import aabb_distance, take_rows
 
 
 def importance_scores(cloud) -> np.ndarray:
@@ -46,7 +47,7 @@ def build_lod_chain(
     for lv in range(1, levels):
         k = max(1, int(round(n * ratio**lv)))
         idx = np.sort(order[:k])  # preserve original ordering within a level
-        sub = jax.tree.map(lambda a: jnp.asarray(np.asarray(a)[idx]), cloud)
+        sub = take_rows(cloud, idx)
         if compensate:
             kept_mass = float(np.asarray(sub.opacity).sum())
             gain = min(4.0, total_mass / max(kept_mass, 1e-12))
@@ -68,10 +69,7 @@ def select_lod(
 
     Distance is measured from the camera to the AABB (0 inside).  Level 0 up
     to ``base_distance``; +1 per doubling after that, clamped to the chain."""
-    lo = np.asarray(aabb_min, dtype=np.float64)
-    hi = np.asarray(aabb_max, dtype=np.float64)
-    p = np.asarray(camera_position, dtype=np.float64)
-    d = float(np.linalg.norm(np.maximum(np.maximum(lo - p, p - hi), 0.0)))
+    d = aabb_distance(aabb_min, aabb_max, camera_position)
     if d <= base_distance:
         return 0
     return int(min(np.floor(np.log2(d / base_distance)) + 1, num_levels - 1))

@@ -24,7 +24,11 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from bevy_gaussian_splatting_tpu.stream.slice import CloudChunk, concat_clouds
+from bevy_gaussian_splatting_tpu.stream.slice import (
+    CloudChunk,
+    aabb_distance as _aabb_distance,
+    concat_clouds,
+)
 
 MANIFEST = "streaming_manifest.json"
 
@@ -32,11 +36,13 @@ MANIFEST = "streaming_manifest.json"
 def save_streaming_scene(chunks: Sequence[CloudChunk], root_dir: str) -> str:
     """Persist chunks + manifest; returns the manifest path."""
     from bevy_gaussian_splatting_tpu.io.loader import save_cloud
+    from bevy_gaussian_splatting_tpu.models.cloud import Gaussian4dCloud
 
     os.makedirs(root_dir, exist_ok=True)
     entries = []
     for i, ch in enumerate(chunks):
-        name = f"chunk_{i:05d}.gcloud"
+        ext = ".gc4d" if isinstance(ch.cloud, Gaussian4dCloud) else ".gcloud"
+        name = f"chunk_{i:05d}{ext}"
         save_cloud(ch.cloud, os.path.join(root_dir, name))
         entries.append(
             {
@@ -52,12 +58,6 @@ def save_streaming_scene(chunks: Sequence[CloudChunk], root_dir: str) -> str:
         json.dump({"chunks": entries}, f)
     return path
 
-
-def _aabb_distance(lo, hi, p) -> float:
-    lo = np.asarray(lo, dtype=np.float64)
-    hi = np.asarray(hi, dtype=np.float64)
-    p = np.asarray(p, dtype=np.float64)
-    return float(np.linalg.norm(np.maximum(np.maximum(lo - p, p - hi), 0.0)))
 
 
 class StreamingCloudScene:
@@ -127,7 +127,14 @@ class StreamingCloudScene:
                 if self._worker is not None:
                     self._jobs.put(i)
                 else:
-                    self._load(i)
+                    try:
+                        self._load(i)
+                    except Exception:
+                        # mirror the worker's recovery: clear the inflight
+                        # mark so the next update() can retry the chunk
+                        with self._lock:
+                            self._inflight.discard(i)
+                        raise
             elif d > self.radius * self.evict_factor and resident:
                 with self._lock:
                     self._resident.pop(i, None)

@@ -29,8 +29,17 @@ class CloudChunk:
         return len(self.cloud)
 
 
-def _take(cloud, idx: np.ndarray):
+def take_rows(cloud, idx: np.ndarray):
+    """Host-side row subset of a cloud pytree (asset-prep op, not jit)."""
     return jax.tree.map(lambda a: jnp.asarray(np.asarray(a)[idx]), cloud)
+
+
+def aabb_distance(lo, hi, p) -> float:
+    """Euclidean distance from point ``p`` to the AABB [lo, hi] (0 inside)."""
+    lo = np.asarray(lo, dtype=np.float64)
+    hi = np.asarray(hi, dtype=np.float64)
+    p = np.asarray(p, dtype=np.float64)
+    return float(np.linalg.norm(np.maximum(np.maximum(lo - p, p - hi), 0.0)))
 
 
 def slice_cloud(
@@ -59,7 +68,7 @@ def slice_cloud(
                 p = pos[idx] if idx.size else np.zeros((1, 3))
                 chunks.append(
                     CloudChunk(
-                        cloud=_take(cloud, idx),
+                        cloud=take_rows(cloud, idx),
                         aabb_min=p.min(axis=0),
                         aabb_max=p.max(axis=0),
                         cell=(cx, cy, cz),

@@ -112,6 +112,11 @@ def main() -> int:
             cloud, dstate, stats = densify_and_prune(
                 cloud, dstate, k_budget=n // 8, scene_extent=float(np.max(hi - lo))
             )
+            # densify rewrites slots, so the per-slot adam moments no longer
+            # describe their gaussians — reset them (the original recipe
+            # zeroes moments for modified slots; full reset is the simple
+            # safe form at this scale)
+            opt_state = opt.init(cloud)
         if i % 50 == 0 or i == steps - 1:
             img0 = np.asarray(
                 render_tiled(cloud, cams[0], settings, width=W, height=H)
