@@ -98,9 +98,10 @@ class ViewerState:
     runs one frame at a time; a lock serializes renders)."""
 
     def __init__(self, cloud, settings, width, height, background, target,
-                 radius, impl="auto", scene=None):
+                 radius, impl="auto", scene=None, stream=None):
         self.cloud = cloud
         self.scene = scene
+        self.stream = stream  # StreamingCloudScene: radius-driven residency
         self.settings = settings
         self.width = width
         self.height = height
@@ -140,6 +141,15 @@ class ViewerState:
             settings = dataclasses.replace(settings, time=float(t))
         with self.lock:
             cam = self.camera(az, el, radius)
+            if self.stream is not None:
+                # refresh chunk residency around the current eye; loads land
+                # asynchronously and pop into view on later frames
+                import numpy as np
+
+                self.stream.update(np.asarray(cam.world_position))
+                resident = self.stream.resident_cloud()
+                if resident is not None:
+                    self.cloud = resident
             if self.scene is not None:
                 from bevy_gaussian_splatting_tpu.render.scene import render_scene
 
@@ -266,7 +276,19 @@ def main(argv=None) -> int:
     )
 
     scene = None
-    if args.input_scene:
+    stream = None
+    if args.input_stream:
+        from bevy_gaussian_splatting_tpu.stream import StreamingCloudScene
+
+        stream = StreamingCloudScene(args.input_stream, radius=args.stream_radius)
+        stream.update(tuple(args.eye))
+        stream.wait_idle()
+        cloud = stream.resident_cloud()
+        if cloud is None:
+            import bevy_gaussian_splatting_tpu as _bgs
+
+            cloud = _bgs.random_gaussians_3d_seeded(1, 0)  # placeholder until chunks land
+    elif args.input_scene:
         from bevy_gaussian_splatting_tpu.io.loader import load_scene
 
         scene = load_scene(args.input_scene)
@@ -299,7 +321,7 @@ def main(argv=None) -> int:
     state = ViewerState(
         cloud, settings, args.width, args.height,
         jnp.asarray(args.background, jnp.float32), target, radius, args.impl,
-        scene=scene,
+        scene=scene, stream=stream,
     )
 
     server = ThreadingHTTPServer(("0.0.0.0", args.port), make_handler(state))
