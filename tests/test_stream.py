@@ -140,6 +140,52 @@ class TestStreamingScene:
         finally:
             scene.close()
 
+    def test_viewer_serves_streaming_scene(self, tmp_path):
+        # end-to-end HTTP drive: the interactive viewer refreshes chunk
+        # residency per frame and serves a PNG of the resident set
+        import os
+        import signal
+        import subprocess
+        import time
+        import urllib.request
+
+        self._scene_dir(tmp_path)
+        env = dict(
+            os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS=""
+        )
+        port = 8000 + (os.getpid() % 2000)
+        proc = subprocess.Popen(
+            [
+                "python", "-m", "bevy_gaussian_splatting_tpu.viewer.serve",
+                "--input-stream", str(tmp_path), "--stream-radius", "1e9",
+                "--eye", "0", "0", "60", "--width", "64", "--height", "64",
+                "--port", str(port),
+            ],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True, start_new_session=True,
+        )
+        try:
+            png = None
+            deadline = time.monotonic() + 240
+            while time.monotonic() < deadline:
+                time.sleep(2)
+                if proc.poll() is not None:
+                    raise AssertionError(
+                        "viewer exited: " + proc.stdout.read()[-1500:]
+                    )
+                try:
+                    png = urllib.request.urlopen(
+                        f"http://127.0.0.1:{port}/frame?az=0&el=0.2&r=60",
+                        timeout=10,
+                    ).read()
+                    break
+                except Exception:
+                    continue
+            assert png is not None and png[:4] == b"\x89PNG"
+        finally:
+            os.killpg(proc.pid, signal.SIGTERM)
+            proc.wait(timeout=10)
+
     def test_lod_render_close_at_distance(self, tmp_path):
         # a far camera renders the decimated level close to the full cloud
         from bevy_gaussian_splatting_tpu.ops.rasterize_tile import render_tiled
