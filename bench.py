@@ -20,6 +20,30 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+def prior_round_value() -> float | None:
+    """North-star value from the newest BENCH_r{N}.json the driver recorded,
+    so every round's JSON line self-reports vs the previous round."""
+    import glob
+    import os
+    import re
+
+    best_round, best_val = -1, None
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            with open(path) as f:
+                parsed = json.load(f).get("parsed") or {}
+            val = float(parsed["value"])
+        except Exception:
+            continue
+        if int(m.group(1)) > best_round and val > 0:
+            best_round, best_val = int(m.group(1)), val
+    return best_val
+
+
 def bench_forward(pipe, args_fn, iters: int, windows: int = 3) -> float:
     """Min over several timing windows — the remote-relay execution path has
     high run-to-run variance; min is the robust per-frame estimate."""
@@ -161,6 +185,86 @@ def main() -> int:
         log(f"fwd+bwd failed ({type(e).__name__}: {e}); reporting forward-only")
         fb_rays = 0.0
 
+    # ---- BASELINE.md secondary configs on the JSON line ----------------------
+    # config 3 (2DGS surfel at the headline scene) and config 2 at 4M scale;
+    # each wrapped so a relay compile failure cannot lose the main metric
+    extra_configs: dict = {}
+    t_start_secondary = time.perf_counter()
+    budget_s = float(os.environ.get("BENCH_SECONDARY_BUDGET_S", 2400))
+    if os.environ.get("BENCH_SECONDARY", "1") == "1":
+        from bevy_gaussian_splatting_tpu.models.settings import GaussianMode
+
+        def measure_train(pipe_settings, c, pmax, label, iters_=2):
+            fp = make_tiled_pipeline(
+                pipe_settings, width, height, differentiable=False,
+                compositor="pallas", pairs_max=pmax,
+            )
+            tf = bench_forward(
+                fp, lambda i: (c, camera, mt, bg, jnp.float32(i * 1e-7)),
+                iters_, windows=2,
+            )
+            tgt = fp(c, camera, mt, bg, jnp.float32(0.0))
+
+            @jax.jit
+            def fb(cc, t):
+                def loss(cc):
+                    img = render_tiled(
+                        cc, camera, pipe_settings, mt, bg, t,
+                        width=width, height=height, differentiable=True,
+                        compositor="pallas", pairs_max=pmax,
+                    )
+                    return jnp.mean((img - tgt) ** 2)
+
+                return jax.value_and_grad(loss)(cc)
+
+            l, gg = fb(c, jnp.float32(0.0))
+            _ = float(l)
+            tb = float("inf")
+            k = 0
+            for _w in range(2):
+                t0 = time.perf_counter()
+                for _i in range(iters_):
+                    k += 1
+                    l, gg = fb(c, jnp.float32(k * 1e-7))
+                _ = float(l)
+                t1 = time.perf_counter()
+                tb = min(tb, (t1 - t0) / iters_)
+            log(f"{label}: fwd {tf * 1e3:.1f} ms, train {tb * 1e3:.1f} ms")
+            return tf * 1e3, tb * 1e3
+
+        try:  # 2DGS surfel, same 1M scene (BASELINE.md config 3)
+            s2d = settings.replace(gaussian_mode=GaussianMode.GAUSSIAN_2D)
+            p2 = int(jax.jit(lambda c: pair_count(
+                c, camera, s2d, width=width, height=height))(cloud))
+            b2 = pairs_budget(n, p2, headroom=1.10, quantum=4096)
+            f2, t2 = measure_train(s2d, cloud, b2, "2DGS 1M")
+            extra_configs["gs2d_fwd_ms"] = f2
+            extra_configs["gs2d_train_ms"] = t2
+        except Exception as e:
+            log(f"2DGS secondary config failed: {type(e).__name__}: {e}")
+        if time.perf_counter() - t_start_secondary < budget_s:
+            try:  # 4M-scale scene (BASELINE.md config 2 at scale)
+                n4 = 4 * n
+                c4m = bgs.random_gaussians_3d_seeded(n4, seed=0)
+                c4m = dataclasses.replace(
+                    c4m,
+                    position_visibility=c4m.position_visibility
+                    * jnp.array([1.0, 1.0, 0.25, 1.0]),
+                    scale_opacity=c4m.scale_opacity
+                    * jnp.array([0.05, 0.05, 0.05, 1.0]),
+                )
+                p4 = int(jax.jit(lambda c: pair_count(
+                    c, camera, settings, width=width, height=height))(c4m))
+                b4 = pairs_budget(n4, p4, headroom=1.10, quantum=4096)
+                log(f"4M pair count {p4} -> budget {b4}")
+                f4, t4 = measure_train(settings, c4m, b4, "3DGS 4M")
+                extra_configs["gs3d_4m_fwd_ms"] = f4
+                extra_configs["gs3d_4m_train_ms"] = t4
+            except Exception as e:
+                log(f"4M secondary config failed: {type(e).__name__}: {e}")
+        else:
+            log("secondary time budget exhausted; skipping 4M config")
+
     # ---- optional secondary configs (BASELINE.md configs 3 & 4) -------------
     if os.environ.get("BENCH_FULL") == "1":
         from bevy_gaussian_splatting_tpu.models.settings import GaussianMode
@@ -187,16 +291,17 @@ def main() -> int:
         log(f"4DGS temporal fwd (100k, per-frame re-sort): {t4 * 1e3:.2f} ms/frame")
 
     metric_value = fb_rays if fb_rays > 0 else fwd_rays
-    print(
-        json.dumps(
-            {
-                "metric": "rays/s per chip fwd+bwd at 1M gaussians (512x512 f32)",
-                "value": metric_value,
-                "unit": "rays/s",
-                "vs_baseline": None,
-            }
-        )
-    )
+    prior = prior_round_value()
+    line = {
+        "metric": "rays/s per chip fwd+bwd at 1M gaussians (512x512 f32)",
+        "value": metric_value,
+        "unit": "rays/s",
+        "vs_baseline": (metric_value / prior) if prior else None,
+        "fwd_ms": t_fwd * 1e3,
+        "train_ms": (width * height / fb_rays * 1e3) if fb_rays > 0 else None,
+    }
+    line.update(extra_configs)
+    print(json.dumps(line))
     return 0
 
 

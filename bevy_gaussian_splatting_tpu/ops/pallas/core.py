@@ -41,15 +41,21 @@ def _gather_col_splits(p: int, c: int) -> list:
     return [(0, c)]
 
 
-def _gather_rows(table, idx, c_live: int):
+def gather_rows(table, idx, c_live: int):
     """table[idx] restricted to the first ``c_live`` columns, split per the
-    cliff model -> [len(idx), c_live]."""
+    cliff model -> [len(idx), c_live].
+
+    Public helper: the serving-path params gather (ops/rasterize_tile.py)
+    and the training cores below share this cost model."""
     p = table.shape[0]
     splits = _gather_col_splits(p, c_live)
     if len(splits) == 1:
         sliced = table[:, :c_live] if c_live < table.shape[1] else table
         return sliced[idx]
     return jnp.concatenate([table[:, a:b][idx] for a, b in splits], axis=1)
+
+
+_gather_rows = gather_rows  # back-compat alias
 
 
 _CORE_CACHE: dict = {}

@@ -530,9 +530,9 @@ def _serving_params_gather(params, g_s):
     """params[g_s] through the gather-cliff column-split cost model
     (ops/pallas/core.py) — matters for the 18-col 2DGS layout, whose 1M-row
     table sits above the 64 MiB gather cliff."""
-    from bevy_gaussian_splatting_tpu.ops.pallas.core import _gather_rows
+    from bevy_gaussian_splatting_tpu.ops.pallas.core import gather_rows
 
-    return _gather_rows(params, g_s, params.shape[1])
+    return gather_rows(params, g_s, params.shape[1])
 
 
 def tile_ranges(pair_tile: jnp.ndarray, num_tiles: int):

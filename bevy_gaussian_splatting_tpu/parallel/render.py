@@ -405,6 +405,10 @@ def make_train_step_multicam(
     import optax
 
     n_bands = mesh.shape[TILES_AXIS]
+    if height % (n_bands * TILE):
+        raise ValueError(
+            f"height {height} must be divisible by n_bands*TILE = {n_bands * TILE}"
+        )
     from jax import shard_map
 
     optimizer = optax.adam(learning_rate)

@@ -93,6 +93,10 @@ class StreamingCloudScene:
             os.path.join(self.root_dir, self.entries[i]["file"])
         )
         with self._lock:
+            # a fast-moving camera can leave the chunk's range while the load
+            # is inflight; land it anyway (hysteresis) — the next update()
+            # evicts it.  The inflight mark is cleared in the same critical
+            # section so update() sees a consistent resident/inflight pair.
             self._resident[i] = cloud
             self._inflight.discard(i)
 
@@ -118,12 +122,15 @@ class StreamingCloudScene:
         """Schedule loads for chunks inside ``radius``; evict far chunks."""
         for i, e in enumerate(self.entries):
             d = _aabb_distance(e["aabb_min"], e["aabb_max"], camera_position)
+            # membership check + inflight insertion in ONE critical section:
+            # concurrent update() calls must not double-schedule a chunk
             with self._lock:
                 resident = i in self._resident
                 inflight = i in self._inflight
-            if d <= self.radius and not resident and not inflight:
-                with self._lock:
+                schedule = d <= self.radius and not resident and not inflight
+                if schedule:
                     self._inflight.add(i)
+            if schedule:
                 if self._worker is not None:
                     self._jobs.put(i)
                 else:
