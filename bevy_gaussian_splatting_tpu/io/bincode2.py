@@ -32,7 +32,10 @@ from bevy_gaussian_splatting_tpu.models.cloud import (
     Gaussian4dCloud,
 )
 
-_FIELDS_3D = [("position_visibility", 4), ("spherical_harmonic", 48),
+# spherical_harmonic width None = degree axis (sh0..sh4): the encoder uses the
+# array's actual width; the decoder infers it from the remaining byte budget
+# (every other field is fixed-width and shares the same row count)
+_FIELDS_3D = [("position_visibility", 4), ("spherical_harmonic", None),
               ("rotation", 4), ("scale_opacity", 4)]
 _FIELDS_4D = [("position_visibility", 4), ("spherindrical_harmonic", 144),
               ("isotropic_rotations", 8), ("scale_opacity", 4),
@@ -70,17 +73,33 @@ def _encode(cloud, fields) -> bytes:
     out = bytearray()
     for name, width in fields:
         arr = np.ascontiguousarray(np.asarray(getattr(cloud, name)), np.float32)
-        assert arr.shape[1] == width, (name, arr.shape)
+        assert width is None or arr.shape[1] == width, (name, arr.shape)
         _write_varint(out, arr.shape[0])
         out += arr.tobytes()
     return bytes(out)
 
 
+def _varint_size(v: int) -> int:
+    return 1 if v < 251 else 3 if v < (1 << 16) else 5 if v < (1 << 32) else 9
+
+
 def _decode(data: bytes, fields) -> dict:
     pos = 0
     arrays = {}
-    for name, width in fields:
+    for i, (name, width) in enumerate(fields):
         n, pos = _read_varint(data, pos)
+        if width is None:
+            # infer from the remaining budget: every later field is
+            # fixed-width with the same row count and its own varint
+            rest = sum(w for _, w in fields[i + 1 :])
+            tail = _varint_size(n) * (len(fields) - 1 - i) + n * rest * 4
+            floats = len(data) - pos - tail
+            if n == 0:
+                width = 48  # empty cloud: default degree-3 layout
+            elif floats < 0 or floats % (4 * n):
+                raise ValueError("cannot infer variable field width")
+            else:
+                width = floats // (4 * n)
         nbytes = n * width * 4
         arr = np.frombuffer(data, np.float32, count=n * width, offset=pos)
         arrays[name] = jnp.asarray(arr.reshape(n, width))

@@ -31,17 +31,18 @@ loops.  A binary-little-endian writer is provided for tooling round-trips
 from __future__ import annotations
 
 import io as _io
-from typing import BinaryIO, Union
+from typing import BinaryIO, Optional, Union
 
 import jax.numpy as jnp
 import numpy as np
 
 from bevy_gaussian_splatting_tpu.models.cloud import (
     SH_4D_COEFF_COUNT,
-    SH_COEFF_COUNT,
-    SH_COEFF_COUNT_PER_CHANNEL,
+    SH_MAX_DEGREE,
     Gaussian3dCloud,
     Gaussian4dCloud,
+    num_sh_coefficients,
+    sh_coeff_width,
 )
 
 MAX_SIZE_VARIANCE = 4.0  # src/io/ply.rs:21
@@ -139,17 +140,47 @@ def _pad_rows(n: int) -> int:
     return 32 - (n % 32)
 
 
+def _infer_sh_degree_from_rest(n_rest: int) -> int:
+    """Smallest SH degree whose layout holds ``n_rest`` f_rest properties
+    (n_rest = ((d+1)^2 - 1) * 3 for a full file), capped at SH_MAX_DEGREE —
+    the data-driven stand-in for the reference's compile-time shN feature."""
+    per_ch = n_rest // 3 + 1
+    degree = 0
+    while degree < SH_MAX_DEGREE and num_sh_coefficients(degree) < per_ch:
+        degree += 1
+    return degree
+
+
+def _header_rest_count(source: bytes) -> int:
+    """Count f_rest_* vertex properties by scanning only the header bytes."""
+    end = source.find(b"end_header")
+    return source[: end if end >= 0 else 4096].count(b"property float f_rest_")
+
+
 def parse_ply_3d(
     source: Union[bytes, BinaryIO], strict_reference: bool = True,
-    use_native: bool = True,
+    use_native: bool = True, sh_degree: Optional[int] = None,
 ) -> Gaussian3dCloud:
+    """``sh_degree``: target SH storage degree (the reference's sh0..sh4
+    compile feature, spherical_harmonics.rs:33-120).  ``None`` infers it from
+    the file's f_rest property count; an explicit degree truncates or
+    zero-extends exactly like rebuilding the reference with that feature."""
     if isinstance(source, (bytes, bytearray)) and use_native:
         # fast path: multithreaded C++ decoder (native/gsplat_native.cpp);
         # silently falls back for ascii/list-property/exotic files
+        deg = (
+            sh_degree
+            if sh_degree is not None
+            else _infer_sh_degree_from_rest(_header_rest_count(bytes(source)))
+        )
         try:
             from bevy_gaussian_splatting_tpu import native as _native
 
-            out = _native.parse_ply_3d_native(bytes(source), strict_reference)
+            out = _native.parse_ply_3d_native(
+                bytes(source), strict_reference,
+                sh_width=sh_coeff_width(deg),
+                sh_per_channel=num_sh_coefficients(deg),
+            )
         except Exception:
             out = None
         if out is not None:
@@ -176,13 +207,17 @@ def parse_ply_3d(
     vis = data.get("visibility", np.ones(n, np.float32))
     pv = np.concatenate([pos, vis[:, None]], axis=1).astype(np.float32)
 
-    sh = np.zeros((n, SH_COEFF_COUNT), np.float32)
+    if sh_degree is None:
+        n_rest_props = sum(1 for k in data if k.startswith("f_rest_"))
+        sh_degree = _infer_sh_degree_from_rest(n_rest_props)
+    sh_width = sh_coeff_width(sh_degree)
+    sh = np.zeros((n, sh_width), np.float32)
     sh[:, 0] = data["f_dc_0"]
     sh[:, 1] = data["f_dc_1"]
     sh[:, 2] = data["f_dc_2"]
-    per_ch = SH_COEFF_COUNT_PER_CHANNEL  # 16
+    per_ch = num_sh_coefficients(sh_degree)  # 16 at the default degree 3
     for key, col in data.items():
-        if not key.startswith("f_rest_"):
+        if not key.startswith("f_rest_") or per_ch <= 1:
             continue
         i = int(key[7:])
         if strict_reference:
@@ -192,7 +227,7 @@ def parse_ply_3d(
             channel = i // (per_ch - 1)
             coefficient = (i % (per_ch - 1)) + 1
         idx = coefficient * 3 + channel
-        if idx < SH_COEFF_COUNT:
+        if idx < sh_width:
             sh[:, idx] = col
 
     rot = np.stack([data["rot_0"], data["rot_1"], data["rot_2"], data["rot_3"]], axis=1)
@@ -210,7 +245,7 @@ def parse_ply_3d(
 
     pad = _pad_rows(n)
     pv = np.concatenate([pv, np.zeros((pad, 4), np.float32)])
-    sh = np.concatenate([sh, np.zeros((pad, SH_COEFF_COUNT), np.float32)])
+    sh = np.concatenate([sh, np.zeros((pad, sh_width), np.float32)])
     rot_pad = np.zeros((pad, 4), np.float32)
     rot = np.concatenate([rot, rot_pad])
     so = np.concatenate([so, np.zeros((pad, 4), np.float32)])
@@ -286,7 +321,10 @@ def write_ply_3d(cloud: Gaussian3dCloud, include_padding: bool = True) -> bytes:
     rot = np.asarray(cloud.rotation)
     so = np.asarray(cloud.scale_opacity)
 
-    n_rest = (SH_COEFF_COUNT_PER_CHANNEL - 1) * 3
+    from bevy_gaussian_splatting_tpu.models.cloud import sh_degree_from_width
+
+    per_ch = num_sh_coefficients(sh_degree_from_width(sh.shape[1]))
+    n_rest = (per_ch - 1) * 3
     props = (
         ["x", "y", "z", "visibility", "f_dc_0", "f_dc_1", "f_dc_2"]
         + [f"f_rest_{i}" for i in range(n_rest)]
@@ -301,8 +339,8 @@ def write_ply_3d(cloud: Gaussian3dCloud, include_padding: bool = True) -> bytes:
 
     cols = [pv[:, 0], pv[:, 1], pv[:, 2], pv[:, 3], sh[:, 0], sh[:, 1], sh[:, 2]]
     for i in range(n_rest):
-        channel = i // (SH_COEFF_COUNT_PER_CHANNEL - 1)
-        coefficient = (i % (SH_COEFF_COUNT_PER_CHANNEL - 1)) + 1
+        channel = i // (per_ch - 1)
+        coefficient = (i % (per_ch - 1)) + 1
         cols.append(sh[:, coefficient * 3 + channel])
     eps = 1e-12
     log_scale = np.log(np.maximum(so[:, :3], eps))

@@ -38,9 +38,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from bevy_gaussian_splatting_tpu.models.cloud import (
-    SH_COEFF_COUNT,
-    SH_COEFF_COUNT_PER_CHANNEL,
     Gaussian3dCloud,
+    num_sh_coefficients,
+    sh_coeff_width,
+    sh_degree_from_width,
 )
 from bevy_gaussian_splatting_tpu.models.settings import CloudSettings, GaussianColorSpace
 
@@ -250,8 +251,11 @@ def _decode_color(arr, acc) -> np.ndarray:
     raise SceneError(f"'{ATTR_COLOR_0}' has unsupported component type")
 
 
-def _collect_sh_map(attributes: dict) -> list:
-    """scene.rs:1457-1562: validated (coefficient_index, accessor_index)."""
+def _collect_sh_map(attributes: dict, sh_degree: int = 3) -> list:
+    """scene.rs:1457-1562: validated (coefficient_index, accessor_index).
+
+    ``sh_degree`` plays the reference's compile-time shN feature: attributes
+    above it are validated but dropped (scene.rs caps at its SH_COEFF_COUNT)."""
     degrees: dict = {}
     for semantic, accessor_index in attributes.items():
         if not semantic.startswith(ATTR_SH_PREFIX):
@@ -276,9 +280,7 @@ def _collect_sh_map(attributes: dict) -> list:
     max_degree = max(degrees)
     if max_degree > 3:
         raise SceneError(f"unsupported spherical harmonics degree {max_degree}")
-    supported = 0
-    while (supported + 1) ** 2 < SH_COEFF_COUNT_PER_CHANNEL:
-        supported += 1
+    supported = sh_degree
     for degree in range(max_degree + 1):
         expected = 2 * degree + 1
         if degree not in degrees:
@@ -298,8 +300,13 @@ def _collect_sh_map(attributes: dict) -> list:
     return out
 
 
-def _decode_primitive(root, buffers, attributes: dict) -> Gaussian3dCloud:
-    """decode_gaussian_primitive (scene.rs:1305-1396)."""
+def _decode_primitive(
+    root, buffers, attributes: dict, sh_degree: Optional[int] = 3
+) -> Gaussian3dCloud:
+    """decode_gaussian_primitive (scene.rs:1305-1396).
+
+    ``sh_degree`` selects the SH storage layout (sh0..sh4 axis); ``None``
+    stores at the file's own max degree (data-driven width)."""
     for semantic in (ATTR_POSITION, ATTR_ROTATION, ATTR_SCALE, ATTR_OPACITY):
         if semantic not in attributes:
             raise SceneError(f"missing required attribute semantic '{semantic}'")
@@ -318,8 +325,16 @@ def _decode_primitive(root, buffers, attributes: dict) -> Gaussian3dCloud:
         if len(a) != count:
             raise SceneError(f"attribute '{name}' has {len(a)} entries; expected {count}")
 
-    sh = np.zeros((count, SH_COEFF_COUNT), np.float32)
-    sh_map = _collect_sh_map(attributes)
+    if sh_degree is None:
+        file_degrees = [
+            int(sem[len(ATTR_SH_PREFIX):].partition("_COEF_")[0])
+            for sem in attributes
+            if sem.startswith(ATTR_SH_PREFIX) and "_COEF_" in sem
+        ]
+        sh_degree = min(max(file_degrees, default=0), 3)
+    sh_width = sh_coeff_width(sh_degree)
+    sh = np.zeros((count, sh_width), np.float32)
+    sh_map = _collect_sh_map(attributes, sh_degree)
     if sh_map:
         for coefficient_index, accessor_index in sh_map:
             arr, acc = _read_accessor(root, buffers, accessor_index)
@@ -328,7 +343,7 @@ def _decode_primitive(root, buffers, attributes: dict) -> Gaussian3dCloud:
             if acc["count"] != count:
                 raise SceneError("SH accessor count mismatch")
             base = coefficient_index * 3
-            if base + 2 < SH_COEFF_COUNT:
+            if base + 2 < sh_width:
                 sh[:, base : base + 3] = arr
     elif ATTR_COLOR_0 in attributes:
         color = _decode_color(*_read_accessor(root, buffers, attributes[ATTR_COLOR_0]))
@@ -375,9 +390,13 @@ def _color_space_from_extension(ext: dict) -> GaussianColorSpace:
 
 
 def load_khr_gaussian_scene(
-    source, base_dir: Optional[str] = None
+    source, base_dir: Optional[str] = None, sh_degree: Optional[int] = 3
 ) -> GaussianScene:
-    """Load a .glb/.gltf scene (bytes or path) -> GaussianScene."""
+    """Load a .glb/.gltf scene (bytes or path) -> GaussianScene.
+
+    ``sh_degree``: SH storage degree for decoded clouds (the reference's
+    sh0..sh4 compile feature; default 3 matches its default build).  ``None``
+    stores each primitive at its file's own max degree."""
     if isinstance(source, str):
         base_dir = base_dir or os.path.dirname(source)
         with open(source, "rb") as f:
@@ -451,7 +470,7 @@ def load_khr_gaussian_scene(
                 if src is None:
                     continue
                 attributes, ext = src
-                cloud = _decode_primitive(root, buffers, attributes)
+                cloud = _decode_primitive(root, buffers, attributes, sh_degree)
                 settings = CloudSettings(color_space=_color_space_from_extension(ext))
                 clouds.append(
                     SceneCloud(
@@ -568,7 +587,7 @@ def encode_khr_gaussian_scene_gltf_bytes(
             ATTR_SCALE: push_f32_accessor(scales, count, "VEC3"),
             ATTR_OPACITY: push_f32_accessor(opacities, count, "SCALAR"),
         }
-        for ci in range(SH_COEFF_COUNT_PER_CHANNEL):
+        for ci in range(num_sh_coefficients(sh_degree_from_width(sh.shape[1]))):
             base = ci * 3
             vals = sh[:, base : base + 3].astype(np.float32)
             degree, coefficient = _sh_index_to_degree_coefficient(ci)

@@ -52,6 +52,50 @@ def pad_4(x: int) -> int:
 SH_COEFF_COUNT_PER_CHANNEL: int = num_sh_coefficients(SH_DEGREE)  # 16
 SH_COEFF_COUNT: int = pad_4(SH_COEFF_COUNT_PER_CHANNEL * SH_CHANNELS)  # 48
 
+# -- SH degree axis (reference cargo features sh0..sh4,
+#    src/material/spherical_harmonics.rs:33-120).  The reference picks ONE
+#    degree at compile time; here the degree is a property of the DATA: the
+#    width of ``spherical_harmonic`` encodes it (different widths are different
+#    traced shapes, so jit specializes per degree exactly like the reference's
+#    shader-def rebuild).  Storage widths follow the reference's pad_4 rule:
+#    degree 0/1/2/3/4 -> 4/12/28/48/76 columns.
+SH_MAX_DEGREE: int = 4
+
+
+def sh_coeff_width(degree: int) -> int:
+    """Padded [N, C] column count for a given SH degree (pad_4(3 * (d+1)^2))."""
+    if not 0 <= degree <= SH_MAX_DEGREE:
+        raise ValueError(f"SH degree must be in [0, {SH_MAX_DEGREE}], got {degree}")
+    return pad_4(num_sh_coefficients(degree) * SH_CHANNELS)
+
+
+_SH_WIDTH_TO_DEGREE = {sh_coeff_width(d): d for d in range(SH_MAX_DEGREE + 1)}
+
+
+def sh_degree_from_width(width: int) -> int:
+    """Inverse of :func:`sh_coeff_width` — the storage degree of a cloud's
+    ``spherical_harmonic`` array."""
+    try:
+        return _SH_WIDTH_TO_DEGREE[int(width)]
+    except KeyError:
+        raise ValueError(
+            f"spherical_harmonic width {width} is not a padded sh0..sh4 layout "
+            f"(expected one of {sorted(_SH_WIDTH_TO_DEGREE)})"
+        ) from None
+
+
+def set_sh_degree(cloud: "Gaussian3dCloud", degree: int) -> "Gaussian3dCloud":
+    """Convert a 3D cloud to another SH storage degree: coefficients beyond the
+    target degree are dropped, missing ones are zero (exactly what rebuilding
+    the reference with a different shN feature does to loaded assets)."""
+    src = np.asarray(cloud.spherical_harmonic)
+    width = sh_coeff_width(degree)
+    keep = num_sh_coefficients(degree) * 3  # real (unpadded) coefficients
+    out = np.zeros((src.shape[0], width), src.dtype)
+    used = min(keep, src.shape[1])
+    out[:, :used] = src[:, :used]
+    return dataclasses.replace(cloud, spherical_harmonic=jnp.asarray(out))
+
 # Reference: src/material/spherindrical_harmonics.rs:20-37 —
 # SH_4D_DEGREE_TIME = 2 temporal harmonics: (deg+1)^2 * (time_deg+1) * 3 = 144.
 SH_4D_DEGREE: int = 3
@@ -224,10 +268,13 @@ def pad_cloud(cloud, multiple: int = DEFAULT_PAD_MULTIPLE):
 # ---------------------------------------------------------------------------
 
 
-def _random_3d(rng: np.random.Generator, n: int) -> Gaussian3dCloud:
+def _random_3d(
+    rng: np.random.Generator, n: int, sh_degree: int = SH_DEGREE
+) -> Gaussian3dCloud:
     pos = rng.uniform(-20.0, 20.0, (n, 3)).astype(np.float32)
     pv = np.concatenate([pos, np.ones((n, 1), np.float32)], axis=1)
-    sh = rng.uniform(-1.0, 1.0, (n, SH_COEFF_COUNT)).astype(np.float32)
+    sh = rng.uniform(-1.0, 1.0, (n, sh_coeff_width(sh_degree))).astype(np.float32)
+    sh[:, num_sh_coefficients(sh_degree) * 3 :] = 0.0  # pad_4 slots stay zero
     rot = rng.uniform(-1.0, 1.0, (n, 4)).astype(np.float32)
     scale = rng.uniform(0.0, 1.0, (n, 3)).astype(np.float32)
     opacity = rng.uniform(0.0, 0.8, (n, 1)).astype(np.float32)
@@ -240,12 +287,14 @@ def _random_3d(rng: np.random.Generator, n: int) -> Gaussian3dCloud:
     )
 
 
-def random_gaussians_3d(n: int) -> Gaussian3dCloud:
-    return _random_3d(np.random.default_rng(), n)
+def random_gaussians_3d(n: int, sh_degree: int = SH_DEGREE) -> Gaussian3dCloud:
+    return _random_3d(np.random.default_rng(), n, sh_degree)
 
 
-def random_gaussians_3d_seeded(n: int, seed: int = 0) -> Gaussian3dCloud:
-    return _random_3d(np.random.default_rng(seed), n)
+def random_gaussians_3d_seeded(
+    n: int, seed: int = 0, sh_degree: int = SH_DEGREE
+) -> Gaussian3dCloud:
+    return _random_3d(np.random.default_rng(seed), n, sh_degree)
 
 
 def _random_4d(rng: np.random.Generator, n: int) -> Gaussian4dCloud:

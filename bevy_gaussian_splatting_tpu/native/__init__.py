@@ -46,7 +46,7 @@ def _build_and_load():
                 ctypes.c_char_p, ctypes.c_int64,
                 ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
                 ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
-                ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             ]
             lib.ply3d_count.restype = ctypes.c_int64
             lib.ply3d_count.argtypes = [ctypes.c_char_p, ctypes.c_int64]
@@ -58,14 +58,17 @@ def _build_and_load():
             fp = ctypes.POINTER(ctypes.c_float)
             u8p = ctypes.POINTER(ctypes.c_uint8)
             for name, args in [
-                ("gcloud3d_size", [ctypes.c_int64]),
+                ("gcloud3d_size", [ctypes.c_int64, ctypes.c_int32]),
                 ("gcloud4d_size", [ctypes.c_int64]),
-                ("gcloud3d_encode", [fp, fp, fp, fp, ctypes.c_int64, u8p]),
+                ("gcloud3d_encode", [fp, fp, fp, fp, ctypes.c_int64, u8p,
+                                     ctypes.c_int32]),
                 ("gcloud4d_encode", [fp, fp, fp, fp, fp, ctypes.c_int64, u8p]),
                 ("gcloud_probe", [ctypes.c_char_p, ctypes.c_int64,
+                                  ctypes.POINTER(ctypes.c_int32),
                                   ctypes.POINTER(ctypes.c_int32)]),
                 ("gcloud3d_decode", [ctypes.c_char_p, ctypes.c_int64,
-                                     fp, fp, fp, fp, ctypes.c_int64]),
+                                     fp, fp, fp, fp, ctypes.c_int64,
+                                     ctypes.c_int32]),
                 ("gcloud4d_decode", [ctypes.c_char_p, ctypes.c_int64,
                                      fp, fp, fp, fp, fp, ctypes.c_int64]),
             ]:
@@ -82,9 +85,16 @@ def available() -> bool:
     return _build_and_load() is not None
 
 
-def parse_ply_3d_native(data: bytes, strict_reference: bool = True, n_threads: int = 0):
+def parse_ply_3d_native(
+    data: bytes, strict_reference: bool = True, n_threads: int = 0,
+    sh_width: int = 48, sh_per_channel: int = 16,
+):
     """Fast binary PLY decode -> (pv, sh, rot, so) float32 arrays, or None if
-    the native path can't handle this file (ascii, list props, no compiler)."""
+    the native path can't handle this file (ascii, list props, no compiler).
+
+    ``sh_width``/``sh_per_channel`` select the SH degree layout (sh0..sh4):
+    the padded storage width and the per-channel coefficient count that drives
+    the reference's f_rest remap quirk."""
     lib = _build_and_load()
     if lib is None:
         return None
@@ -93,7 +103,7 @@ def parse_ply_3d_native(data: bytes, strict_reference: bool = True, n_threads: i
     if padded <= 0:
         return None
     pv = np.zeros((padded, 4), np.float32)
-    sh = np.zeros((padded, 48), np.float32)
+    sh = np.zeros((padded, sh_width), np.float32)
     rot = np.zeros((padded, 4), np.float32)
     so = np.zeros((padded, 4), np.float32)
 
@@ -102,7 +112,8 @@ def parse_ply_3d_native(data: bytes, strict_reference: bool = True, n_threads: i
 
     got = lib.ply3d_parse(
         data, len(data), ptr(pv), ptr(sh), ptr(rot), ptr(so),
-        1 if strict_reference else 0, int(n_threads),
+        1 if strict_reference else 0, int(n_threads), int(sh_width),
+        int(sh_per_channel),
     )
     if got != padded:
         return None
@@ -123,10 +134,11 @@ def encode_gcloud_3d_native(pv, sh, rot, so):
     sh = np.ascontiguousarray(sh, np.float32)
     rot = np.ascontiguousarray(rot, np.float32)
     so = np.ascontiguousarray(so, np.float32)
-    out = np.empty(lib.gcloud3d_size(n), np.uint8)
+    sh_width = int(sh.shape[1])
+    out = np.empty(lib.gcloud3d_size(n, sh_width), np.uint8)
     got = lib.gcloud3d_encode(
         _fptr(pv), _fptr(sh), _fptr(rot), _fptr(so), n,
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), sh_width,
     )
     return out[:got].tobytes() if got > 0 else None
 
@@ -157,10 +169,14 @@ def decode_gcloud_native(data: bytes):
     if lib is None:
         return None
     is4d = ctypes.c_int32(0)
-    n = lib.gcloud_probe(data, len(data), ctypes.byref(is4d))
+    sh_width = ctypes.c_int32(0)
+    n = lib.gcloud_probe(data, len(data), ctypes.byref(is4d),
+                         ctypes.byref(sh_width))
     if n < 0:
         return None
     if is4d.value:
+        if sh_width.value != 144:
+            return None
         pv = np.zeros((n, 4), np.float32)
         sh = np.zeros((n, 144), np.float32)
         iso = np.zeros((n, 8), np.float32)
@@ -173,12 +189,15 @@ def decode_gcloud_native(data: bytes):
         if got != n:
             return None
         return {"pv": pv, "sh": sh, "iso": iso, "so": so, "ts": ts, "is4d": True}
+    w = int(sh_width.value)
+    if w <= 0:  # empty or malformed: let the Python decoder handle it
+        return None
     pv = np.zeros((n, 4), np.float32)
-    sh = np.zeros((n, 48), np.float32)
+    sh = np.zeros((n, w), np.float32)
     rot = np.zeros((n, 4), np.float32)
     so = np.zeros((n, 4), np.float32)
     got = lib.gcloud3d_decode(
-        data, len(data), _fptr(pv), _fptr(sh), _fptr(rot), _fptr(so), n
+        data, len(data), _fptr(pv), _fptr(sh), _fptr(rot), _fptr(so), n, w,
     )
     if got != n:
         return None

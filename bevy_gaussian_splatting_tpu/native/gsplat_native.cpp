@@ -37,7 +37,7 @@ struct Ply3dHeaderInfo {
 struct Ply3dOffsets {
   int32_t x, y, z, visibility;
   int32_t f_dc[3];
-  int32_t f_rest[45];
+  int32_t f_rest[72];  // up to SH degree 4 (24 rest coeffs x 3 channels)
   int32_t n_rest;
   int32_t scale[3];
   int32_t opacity;
@@ -49,8 +49,7 @@ struct Ply3dOffsets {
 namespace {
 
 constexpr float kMaxSizeVariance = 4.0f;  // src/io/ply.rs:21
-constexpr int kShCoeffCount = 48;
-constexpr int kShPerChannel = 16;
+constexpr int kShMaxRest = 72;  // degree-4 layout: 24 rest coeffs x 3 channels
 
 int type_size(const std::string& t) {
   if (t == "float" || t == "float32" || t == "int" || t == "int32" ||
@@ -125,11 +124,15 @@ inline float load_f32(const uint8_t* row, int off) {
 extern "C" {
 
 // Returns vertex count (padded to the reference's 32 rule) or -1 on error.
-// Caller allocates: pv [padded, 4], sh [padded, 48], rot [padded, 4],
-// so [padded, 4] float32, zero-initialized.
+// Caller allocates: pv [padded, 4], sh [padded, sh_width], rot [padded, 4],
+// so [padded, 4] float32, zero-initialized.  sh_width is the padded storage
+// width for the target SH degree (4/12/28/48/76); sh_per_channel the
+// per-channel coefficient count (d+1)^2 driving the reference's f_rest remap
+// quirk (ply.rs:56-66 divides the channel by the COMPILE-TIME count).
 int64_t ply3d_parse(const uint8_t* data, int64_t len, float* pv, float* sh,
                     float* rot, float* so, int32_t strict_reference,
-                    int32_t n_threads) {
+                    int32_t n_threads, int32_t sh_width,
+                    int32_t sh_per_channel) {
   Ply3dHeaderInfo info{};
   std::vector<Prop> props;
   if (!parse_header(data, static_cast<size_t>(len), &info, &props)) return -1;
@@ -150,7 +153,7 @@ int64_t ply3d_parse(const uint8_t* data, int64_t len, float* pv, float* sh,
       if (i >= 0 && i < 3) off.f_dc[i] = pr.offset;
     } else if (n.rfind("f_rest_", 0) == 0) {
       int i = atoi(n.c_str() + 7);
-      if (i >= 0 && i < 45) {
+      if (i >= 0 && i < kShMaxRest) {
         off.f_rest[i] = pr.offset;
         if (i + 1 > off.n_rest) off.n_rest = i + 1;
       }
@@ -174,13 +177,19 @@ int64_t ply3d_parse(const uint8_t* data, int64_t len, float* pv, float* sh,
   const uint8_t* base = data + info.header_bytes;
   const int64_t stride = info.row_stride;
 
-  // precompute f_rest -> interleaved slot map (ply.rs:56-66)
-  int rest_slot[45];
-  for (int i = 0; i < 45; ++i) {
-    int channel = strict_reference ? i / kShPerChannel : i / (kShPerChannel - 1);
-    int coefficient = (i % (kShPerChannel - 1)) + 1;
+  // precompute f_rest -> interleaved slot map (ply.rs:56-66); a degree-0
+  // build has no rest coefficients (per_channel - 1 would divide by zero)
+  int rest_slot[kShMaxRest];
+  for (int i = 0; i < kShMaxRest; ++i) {
+    if (sh_per_channel <= 1) {
+      rest_slot[i] = -1;
+      continue;
+    }
+    int channel =
+        strict_reference ? i / sh_per_channel : i / (sh_per_channel - 1);
+    int coefficient = (i % (sh_per_channel - 1)) + 1;
     int idx = coefficient * 3 + channel;
-    rest_slot[i] = idx < kShCoeffCount ? idx : -1;
+    rest_slot[i] = idx < sh_width ? idx : -1;
   }
 
   int nt = n_threads > 0 ? n_threads : 1;
@@ -188,7 +197,7 @@ int64_t ply3d_parse(const uint8_t* data, int64_t len, float* pv, float* sh,
     for (int64_t r = lo; r < hi; ++r) {
       const uint8_t* row = base + r * stride;
       float* pvr = pv + r * 4;
-      float* shr = sh + r * kShCoeffCount;
+      float* shr = sh + r * sh_width;
       float* rotr = rot + r * 4;
       float* sor = so + r * 4;
 
@@ -584,13 +593,15 @@ inline Node root_node(const uint8_t* data, int64_t len) {
 
 extern "C" {
 
-// Exact encoded size for the fixed-width layout above.
-int64_t gcloud3d_size(int64_t n) {
+// Exact encoded size for the fixed-width layout above.  sh_width is the
+// cloud's SH storage width (4/12/28/48/76 per the sh0..sh4 degree axis).
+int64_t gcloud3d_size(int64_t n, int32_t sh_width) {
   // keys 109 (+3 align) ; per column: keys vec + rows + column vec
   int64_t pv = 12 + 40 * n + (4 + 5 * n + 3) / 4 * 4;
   int64_t rot = 8 + 40 * n + (4 + 5 * n + 3) / 4 * 4;
   int64_t so = 12 + 40 * n + (4 + 5 * n + 3) / 4 * 4;
-  int64_t sh = 8 + 216 * n + (4 + 5 * n + 3) / 4 * 4;
+  // per row: f32 vec (4 + 4*w, 4-aligned) + map (12 + 4 + 1 -> pad)
+  int64_t sh = 8 + (24 + 4 * int64_t(sh_width)) * n + (4 + 5 * n + 3) / 4 * 4;
   return pv + rot + so + sh + 512;  // + keys/root blocks + alignment slack
 }
 
@@ -605,9 +616,11 @@ int64_t gcloud4d_size(int64_t n) {
 }
 
 // Encode Gaussian3d planar cloud -> flexbuffers; returns bytes written.
-// pv [n,4], sh [n,48], rot [n,4], so [n,4].  out must hold gcloud3d_size(n).
+// pv [n,4], sh [n,sh_width], rot [n,4], so [n,4].  out must hold
+// gcloud3d_size(n, sh_width).
 int64_t gcloud3d_encode(const float* pv, const float* sh, const float* rot,
-                        const float* so, int64_t n, uint8_t* out) {
+                        const float* so, int64_t n, uint8_t* out,
+                        int32_t sh_width) {
   using namespace gcloudfb;
   Writer w{out};
   size_t k_coeff = put_key(w, "coefficients");
@@ -625,7 +638,7 @@ int64_t gcloud3d_encode(const float* pv, const float* sh, const float* rot,
   size_t col_pv = put_vec_scalar_column(w, k_position, k_vis, true, pv, n, 3, scratch);
   size_t col_rot = put_vec_column(w, k_rotation, rot, n, 4, scratch);
   size_t col_so = put_vec_scalar_column(w, k_scale, k_opacity, false, so, n, 3, scratch);
-  size_t col_sh = put_vec_column(w, k_coeff, sh, n, 48, scratch);
+  size_t col_sh = put_vec_column(w, k_coeff, sh, n, sh_width, scratch);
 
   // root keys sorted alphabetically
   size_t root_keys[4] = {k_pv, k_rotation, k_so, k_sh};
@@ -680,8 +693,10 @@ int64_t gcloud4d_encode(const float* pv, const float* sh, const float* iso,
   return static_cast<int64_t>(w.pos);
 }
 
-// Probe a gcloud buffer: returns row count, sets *is4d.
-int64_t gcloud_probe(const uint8_t* data, int64_t len, int32_t* is4d) {
+// Probe a gcloud buffer: returns row count, sets *is4d and *sh_width (the
+// per-row coefficient count of the harmonic column — the SH degree axis).
+int64_t gcloud_probe(const uint8_t* data, int64_t len, int32_t* is4d,
+                     int32_t* sh_width) {
   using namespace gcloudfb;
   if (len < 3) return -1;
   Node root = root_node(data, len);
@@ -691,7 +706,21 @@ int64_t gcloud_probe(const uint8_t* data, int64_t len, int32_t* is4d) {
   *is4d = sh4.type >= 0 ? 1 : 0;
   Node pv = map_get(m, "position_visibility");
   if (pv.type < 0) return -1;
-  return as_vec(pv).len;
+  int64_t n = as_vec(pv).len;
+  *sh_width = 0;
+  Node shcol = *is4d ? sh4 : map_get(m, "spherical_harmonic");
+  if (shcol.type >= 0) {
+    VecRef v = as_vec(shcol);
+    if (v.len > 0) {
+      Node row = vec_get(v, 0);
+      if (row.type == 9) {
+        Node coeffs = map_get(as_map(row), "coefficients");
+        if (coeffs.type >= 0)
+          *sh_width = static_cast<int32_t>(as_vec(coeffs).len);
+      }
+    }
+  }
+  return n;
 }
 
 }  // extern "C"
@@ -725,9 +754,10 @@ inline bool read_scalar(const MapRef& m, const char* key, float* out) {
 
 extern "C" {
 
-// Decode 3D gcloud into caller-allocated arrays; returns n or negative error.
+// Decode 3D gcloud into caller-allocated arrays (sh is [n, sh_width] as
+// reported by gcloud_probe); returns n or negative error.
 int64_t gcloud3d_decode(const uint8_t* data, int64_t len, float* pv, float* sh,
-                        float* rot, float* so, int64_t n) {
+                        float* rot, float* so, int64_t n, int32_t sh_width) {
   using namespace gcloudfb;
   Node root = root_node(data, len);
   if (root.type != 9) return -1;
@@ -738,7 +768,8 @@ int64_t gcloud3d_decode(const uint8_t* data, int64_t len, float* pv, float* sh,
                read_scalar(m, "visibility", pv + r * 4 + 3);
       }) &&
       decode_column(rm, "spherical_harmonic", n, [&](const MapRef& m, int64_t r) {
-        return read_f32s(map_get(m, "coefficients"), sh + r * 48, 48);
+        return read_f32s(map_get(m, "coefficients"), sh + r * sh_width,
+                         sh_width);
       }) &&
       decode_column(rm, "rotation", n, [&](const MapRef& m, int64_t r) {
         return read_f32s(map_get(m, "rotation"), rot + r * 4, 4);

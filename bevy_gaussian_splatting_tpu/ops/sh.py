@@ -40,12 +40,33 @@ SHC = np.array(
     dtype=np.float32,
 )
 
+# Degree-4 real SH constants (standard normalization, continuing the shc
+# table's sign convention).  The reference's sh4 feature STORES 25x3 coeffs
+# (spherical_harmonics.rs:43-44) but its shader only evaluates through degree
+# 3 (spherical_harmonics.wgsl stops at shc[15]); evaluation of these terms is
+# therefore opt-in here (see spherical_harmonics_lookup eval_degree).
+SHC4 = np.array(
+    [
+        2.5033429417967046,
+        -1.7701307697799304,
+        0.9461746957575601,
+        -0.6690465435572892,
+        0.10578554691520431,
+        -0.6690465435572892,
+        0.47308734787878004,
+        -1.7701307697799304,
+        0.6258357354491761,
+    ],
+    dtype=np.float32,
+)
+
 
 def sh_basis(direction: jnp.ndarray, degree: int = 3) -> jnp.ndarray:
     """Evaluate the scaled real SH basis shc[k] * Y_k(dir) for [..., 3] unit
     directions -> [..., (degree+1)^2].  Matches the per-term expressions in
     spherical_harmonics.wgsl:40-66 (the reference hard-codes these polynomials;
-    the x/y/z conventions and signs must match exactly)."""
+    the x/y/z conventions and signs must match exactly); degree 4 extends the
+    table with the standard real-SH Y_4 polynomials (SHC4)."""
     x, y, z = direction[..., 0], direction[..., 1], direction[..., 2]
     one = jnp.ones_like(x)
     terms = [SHC[0] * one]
@@ -70,16 +91,50 @@ def sh_basis(direction: jnp.ndarray, degree: int = 3) -> jnp.ndarray:
             SHC[14] * z * (xx - yy),
             SHC[15] * x * (xx - 3.0 * yy),
         ]
+    if degree >= 4:
+        xx, yy, zz = x * x, y * y, z * z
+        terms += [
+            SHC4[0] * x * y * (xx - yy),
+            SHC4[1] * y * z * (3.0 * xx - yy),
+            SHC4[2] * x * y * (7.0 * zz - 1.0),
+            SHC4[3] * y * z * (7.0 * zz - 3.0),
+            SHC4[4] * (zz * (35.0 * zz - 30.0) + 3.0),
+            SHC4[5] * x * z * (7.0 * zz - 3.0),
+            SHC4[6] * (xx - yy) * (7.0 * zz - 1.0),
+            SHC4[7] * x * z * (xx - 3.0 * yy),
+            SHC4[8] * (xx * (xx - 3.0 * yy) - yy * (3.0 * xx - yy)),
+        ]
     return jnp.stack(terms, axis=-1)
 
 
+def sh_storage_degree(sh: jnp.ndarray) -> int:
+    """Storage degree encoded by an interleaved-rgb SH array's width."""
+    from bevy_gaussian_splatting_tpu.models.cloud import sh_degree_from_width
+
+    return sh_degree_from_width(sh.shape[-1])
+
+
 def spherical_harmonics_lookup(
-    direction: jnp.ndarray, sh: jnp.ndarray, degree: int = 3
+    direction: jnp.ndarray,
+    sh: jnp.ndarray,
+    degree: int | None = None,
+    eval_degree: int | None = None,
 ) -> jnp.ndarray:
     """SH color for [..., 3] directions and [..., K] interleaved-rgb coefficients
-    -> [..., 3] with the reference's +0.5 bias (spherical_harmonics.wgsl:39)."""
-    n_basis = (degree + 1) ** 2
-    basis = sh_basis(direction, degree)  # [..., n_basis]
+    -> [..., 3] with the reference's +0.5 bias (spherical_harmonics.wgsl:39).
+
+    ``degree`` defaults to the storage degree encoded by the array width
+    (sh0..sh4 axis).  ``eval_degree`` caps the evaluated basis; the default
+    ``min(degree, 3)`` reproduces the reference shader, which never evaluates
+    degree-4 terms even under the sh4 storage feature
+    (spherical_harmonics.wgsl:41-65 stops at shc[15]).  Pass ``eval_degree=4``
+    for the mathematically-complete evaluation of sh4 clouds."""
+    if degree is None:
+        degree = sh_storage_degree(sh)
+    if eval_degree is None:
+        eval_degree = min(degree, 3)
+    n_basis = (min(eval_degree, degree) + 1) ** 2
+    basis = sh_basis(direction, min(eval_degree, degree))  # [..., n_basis]
     return 0.5 + _interleaved_contract(basis, sh, n_basis)
 
 
