@@ -22,11 +22,16 @@ __version__ = "0.1.0"
 
 from bevy_gaussian_splatting_tpu.models.cloud import (  # noqa: F401
     Gaussian3dCloud,
+    Gaussian3dCovCloud,
     Gaussian4dCloud,
+    precompute_covariance_3d,
     random_gaussians_3d,
     random_gaussians_3d_seeded,
     random_gaussians_4d,
     random_gaussians_4d_seeded,
+    set_sh_degree,
+    sh_coeff_width,
+    sh_degree_from_width,
     test_model_3d,
 )
 from bevy_gaussian_splatting_tpu.models.settings import (  # noqa: F401

@@ -27,6 +27,7 @@ from flatbuffers import flexbuffers
 
 from bevy_gaussian_splatting_tpu.models.cloud import (
     Gaussian3dCloud,
+    Gaussian3dCovCloud,
     Gaussian4dCloud,
 )
 
@@ -236,6 +237,92 @@ def decode_gcloud_4d(data: bytes, use_native: bool = True) -> Gaussian4dCloud:
     )
 
 
+# -- precompute_covariance_3d flavor ------------------------------------------
+# Serde layout of the reference's (feature-gated) Cloud3d with
+# Covariance3dOpacityPacked128 rows {cov3d: [u32; 3], opacity: u32}
+# (src/gaussian/formats/planar_3d.rs:76-85, src/gaussian/f16.rs:122-134):
+# f16 pairs packed into u32 words — the compressed covariance storage.
+
+
+def encode_gcloud_cov3d(cloud: Gaussian3dCovCloud) -> bytes:
+    from bevy_gaussian_splatting_tpu.models.f16 import pack_covariance_3d_opacity
+
+    pv = np.asarray(cloud.position_visibility, np.float32)
+    sh = np.asarray(cloud.spherical_harmonic, np.float32)
+    co = np.asarray(cloud.covariance_3d_opacity, np.float32)
+    packed = pack_covariance_3d_opacity(co[:, :6], co[:, 6])
+
+    b = flexbuffers.Builder()
+    with b.Map():
+        b.Key("covariance_3d_opacity_packed128")
+        with b.Vector():
+            for row in packed:
+                with b.Map():
+                    b.Key("cov3d")
+                    b.TypedVectorFromElements(
+                        [int(v) for v in row[:3]], element_type=flexbuffers.Type.UINT
+                    )
+                    b.Key("opacity")
+                    b.UInt(int(row[3]), 4)
+        b.Key("position_visibility")
+        with b.Vector():
+            for row in pv:
+                with b.Map():
+                    b.Key("position")
+                    _typed_f32_vec(b, row[:3])
+                    b.Key("visibility")
+                    b.Float(float(row[3]))
+        b.Key("spherical_harmonic")
+        with b.Vector():
+            for row in sh:
+                with b.Map():
+                    b.Key("coefficients")
+                    _typed_f32_vec(b, row)
+    return bytes(b.Finish())
+
+
+def decode_gcloud_cov3d(data: bytes) -> Gaussian3dCovCloud:
+    from bevy_gaussian_splatting_tpu.models.f16 import unpack_covariance_3d_opacity
+
+    root = flexbuffers.GetRoot(data).AsMap
+    pv = _rows_to_array(
+        root["position_visibility"].AsVector,
+        lambda r: list(_as_list(r.AsMap["position"].AsTypedVector))
+        + [r.AsMap["visibility"].AsFloat],
+    )
+    sh = _rows_to_array(
+        root["spherical_harmonic"].AsVector,
+        lambda r: _as_list(r.AsMap["coefficients"].AsTypedVector),
+    )
+    rows = root["covariance_3d_opacity_packed128"].AsVector
+    packed = np.asarray(
+        [
+            list(_as_list(r.AsMap["cov3d"].AsTypedVector)) + [r.AsMap["opacity"].AsInt]
+            for r in rows
+        ],
+        dtype=np.uint32,
+    )
+    cov3d, opacity = unpack_covariance_3d_opacity(packed)
+    co = np.concatenate(
+        [cov3d, opacity[:, None], np.zeros((len(cov3d), 1), np.float32)], axis=1
+    )
+    return Gaussian3dCovCloud(
+        position_visibility=jnp.asarray(pv),
+        spherical_harmonic=jnp.asarray(sh),
+        covariance_3d_opacity=jnp.asarray(co),
+    )
+
+
+def gcloud_is_cov3d(data: bytes) -> bool:
+    """Sniff the precompute_covariance_3d schema (packed cov column present)."""
+    try:
+        root = flexbuffers.GetRoot(data).AsMap
+        root["covariance_3d_opacity_packed128"]
+        return True
+    except Exception:
+        return False
+
+
 # -- fast raw sidecar (TPU-native bulk path) ----------------------------------
 
 
@@ -249,9 +336,12 @@ def encode_npz(cloud) -> bytes:
         f.name: np.asarray(getattr(cloud, f.name))
         for f in dataclasses.fields(cloud)
     }
-    arrays["__format__"] = np.array(
-        ["4d" if isinstance(cloud, Gaussian4dCloud) else "3d"]
+    fmt = (
+        "4d" if isinstance(cloud, Gaussian4dCloud)
+        else "3dcov" if isinstance(cloud, Gaussian3dCovCloud)
+        else "3d"
     )
+    arrays["__format__"] = np.array([fmt])
     np.savez(buf, **arrays)
     return buf.getvalue()
 
@@ -262,5 +352,9 @@ def decode_npz(data: bytes):
     with np.load(_io.BytesIO(data)) as z:
         fmt = str(z["__format__"][0])
         fields = {k: jnp.asarray(z[k]) for k in z.files if k != "__format__"}
-    cls = Gaussian4dCloud if fmt == "4d" else Gaussian3dCloud
+    cls = (
+        Gaussian4dCloud if fmt == "4d"
+        else Gaussian3dCovCloud if fmt == "3dcov"
+        else Gaussian3dCloud
+    )
     return cls(**fields)

@@ -225,11 +225,98 @@ class Gaussian4dCloud:
         pos = self.position
         return jnp.min(pos, axis=0), jnp.max(pos, axis=0)
 
+    def with_visibility(self, visibility: jax.Array) -> "Gaussian4dCloud":
+        pv = self.position_visibility.at[:, 3].set(visibility)
+        return dataclasses.replace(self, position_visibility=pv)
+
     def pad(self, multiple: int = DEFAULT_PAD_MULTIPLE) -> "Gaussian4dCloud":
         return pad_cloud(self, multiple)
 
     def astype(self, dtype) -> "Gaussian4dCloud":
         return jax.tree.map(lambda a: a.astype(dtype), self)
+
+
+@_pytree_dataclass
+class Gaussian3dCovCloud:
+    """3DGS cloud with PRECOMPUTED 3D covariance storage (the reference's
+    ``precompute_covariance_3d`` feature: ``Covariance3dOpacity`` attribute
+    struct src/gaussian/f32.rs:232-236, packed f16 form
+    ``Covariance3dOpacityPacked128`` src/gaussian/f16.rs:122-172, consumed by
+    the shader via get_cov3d, src/render/gaussian_3d.wgsl:76-88).
+
+    ``covariance_3d_opacity`` columns: upper-triangular cov3d (xx, xy, xz, yy,
+    yz, zz), opacity, pad — the f32.rs field order.  NOTE the reference quirk:
+    the precomputed covariance is built from quat+scale ONLY, so the render
+    path uses it as-is — no model-transform conjugation and no global_scale
+    (compute_cov3d's T/global-scale path is compiled out,
+    gaussian_3d.wgsl:76-81)."""
+
+    position_visibility: jax.Array  # [N, 4]
+    spherical_harmonic: jax.Array  # [N, sh_coeff_width(degree)]
+    covariance_3d_opacity: jax.Array  # [N, 8]
+
+    @property
+    def position(self) -> jax.Array:
+        return self.position_visibility[:, :3]
+
+    @property
+    def visibility(self) -> jax.Array:
+        return self.position_visibility[:, 3]
+
+    @property
+    def cov3d(self) -> jax.Array:
+        return self.covariance_3d_opacity[:, :6]
+
+    @property
+    def opacity(self) -> jax.Array:
+        return self.covariance_3d_opacity[:, 6]
+
+    def __len__(self) -> int:
+        return self.position_visibility.shape[0]
+
+    def len_sqrt_ceil(self) -> int:
+        return int(np.ceil(np.sqrt(len(self))))
+
+    def square_len(self) -> int:
+        return self.len_sqrt_ceil() ** 2
+
+    def compute_aabb(self) -> tuple[jax.Array, jax.Array]:
+        pos = self.position
+        return jnp.min(pos, axis=0), jnp.max(pos, axis=0)
+
+    def with_visibility(self, visibility: jax.Array) -> "Gaussian3dCovCloud":
+        pv = self.position_visibility.at[:, 3].set(visibility)
+        return dataclasses.replace(self, position_visibility=pv)
+
+    def pad(self, multiple: int = DEFAULT_PAD_MULTIPLE) -> "Gaussian3dCovCloud":
+        return pad_cloud(self, multiple)
+
+    def astype(self, dtype) -> "Gaussian3dCovCloud":
+        return jax.tree.map(lambda a: a.astype(dtype), self)
+
+
+def precompute_covariance_3d(
+    cloud: Gaussian3dCloud, f16_quantize: bool = False
+) -> Gaussian3dCovCloud:
+    """Convert quat+scale storage to precomputed-covariance storage
+    (Covariance3dOpacity::from_gaussian, src/gaussian/f32.rs:238-250: quat +
+    scale only — no transform, no global scale).
+
+    ``f16_quantize=True`` rounds the covariance + opacity through f16, the
+    quantization the packed128 gcloud storage applies (f16.rs:137-152)."""
+    from bevy_gaussian_splatting_tpu.ops.covariance import compute_cov3d
+
+    cov = compute_cov3d(cloud.rotation, cloud.scale)
+    op = cloud.opacity[:, None]
+    pad = jnp.zeros_like(op)
+    co = jnp.concatenate([cov, op, pad], axis=1)
+    if f16_quantize:
+        co = co.astype(jnp.float16).astype(jnp.float32)
+    return Gaussian3dCovCloud(
+        position_visibility=cloud.position_visibility,
+        spherical_harmonic=cloud.spherical_harmonic,
+        covariance_3d_opacity=co,
+    )
 
 
 def pad_cloud(cloud, multiple: int = DEFAULT_PAD_MULTIPLE):

@@ -63,6 +63,32 @@ def unpack_rotation_scale_opacity(packed: np.ndarray):
     return rotation, scale, opacity
 
 
+def pack_covariance_3d_opacity(cov3d: np.ndarray, opacity: np.ndarray) -> np.ndarray:
+    """[N, 6] upper-tri covariance + [N] opacity -> [N, 4] u32
+    (Covariance3dOpacityPacked128, f16.rs:122-152: cov pairs (c0,c1),(c2,c3),
+    (c4,c5); opacity packed as (opacity, opacity))."""
+    return np.stack(
+        [
+            pack_f32s_to_u32(cov3d[:, 0], cov3d[:, 1]),
+            pack_f32s_to_u32(cov3d[:, 2], cov3d[:, 3]),
+            pack_f32s_to_u32(cov3d[:, 4], cov3d[:, 5]),
+            pack_f32s_to_u32(opacity, opacity),
+        ],
+        axis=1,
+    )
+
+
+def unpack_covariance_3d_opacity(packed: np.ndarray):
+    """Inverse of :func:`pack_covariance_3d_opacity` (f16.rs:154-169: the
+    opacity reads the UPPER half)."""
+    c01 = unpack_u32_to_f32s(packed[:, 0])
+    c23 = unpack_u32_to_f32s(packed[:, 1])
+    c45 = unpack_u32_to_f32s(packed[:, 2])
+    opacity, _ = unpack_u32_to_f32s(packed[:, 3])
+    cov3d = np.stack([c01[0], c01[1], c23[0], c23[1], c45[0], c45[1]], axis=1)
+    return cov3d, opacity
+
+
 def to_f16_storage(cloud):
     """Cloud with float16 attribute storage (half the HBM footprint; renderers
     upcast to f32 at the projection boundary)."""

@@ -29,7 +29,11 @@ from typing import Optional
 import jax.numpy as jnp
 
 from bevy_gaussian_splatting_tpu.models.camera import Camera
-from bevy_gaussian_splatting_tpu.models.cloud import Gaussian3dCloud, Gaussian4dCloud
+from bevy_gaussian_splatting_tpu.models.cloud import (
+    Gaussian3dCloud,
+    Gaussian3dCovCloud,
+    Gaussian4dCloud,
+)
 from bevy_gaussian_splatting_tpu.models.settings import (
     CloudSettings,
     DrawMode,
@@ -88,6 +92,19 @@ def project_gaussians(
         cloud = cloud.astype(jnp.float32)
 
     mode = settings.gaussian_mode
+    if isinstance(cloud, Gaussian3dCovCloud):
+        # the precompute flavor stores no quat/scale: surfel projection and
+        # the normal rasterize head have nothing to read (in the reference
+        # these accessors are compiled out under PRECOMPUTE_COVARIANCE_3D)
+        if mode != GaussianMode.GAUSSIAN_3D:
+            raise ValueError(
+                "precomputed-covariance clouds support GaussianMode.GAUSSIAN_3D only"
+            )
+        if settings.rasterize_mode == RasterizeMode.NORMAL:
+            raise ValueError(
+                "RasterizeMode.NORMAL requires quat/scale storage "
+                "(not precompute_covariance_3d)"
+            )
     n = len(cloud)
     viewport = camera.viewport[2:]
     clip_from_world = camera.clip_from_view @ camera.view_from_world
@@ -132,9 +149,16 @@ def project_gaussians(
         proj = world_to_clip(world_pos, clip_from_world)
         mask &= in_frustum(proj[..., :3])
         if mode == GaussianMode.GAUSSIAN_3D:
-            cov3 = cov_ops.compute_cov3d(
-                cloud.rotation, cloud.scale, settings.global_scale, model_transform
-            )
+            if isinstance(cloud, Gaussian3dCovCloud):
+                # precompute_covariance_3d flavor: stored covariance used
+                # AS-IS — the reference's precompute path compiles out the
+                # model-transform conjugation and global scale
+                # (gaussian_3d.wgsl:76-81, get_cov3d)
+                cov3 = cloud.cov3d
+            else:
+                cov3 = cov_ops.compute_cov3d(
+                    cloud.rotation, cloud.scale, settings.global_scale, model_transform
+                )
             cov2 = cov_ops.cov2d(
                 world_pos, cov3, camera.view_from_world, camera.clip_from_view, viewport
             )

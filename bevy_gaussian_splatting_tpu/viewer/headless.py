@@ -98,10 +98,14 @@ def main(argv=None) -> int:
     elif args.input_scene:
         from bevy_gaussian_splatting_tpu.io.loader import load_scene
 
-        scene = load_scene(args.input_scene)
+        from bevy_gaussian_splatting_tpu.io.loader import resolve_input
+
+        scene = load_scene(resolve_input(args.input_scene))
         cloud = None
     elif args.input_cloud:
-        cloud = load_cloud(args.input_cloud)
+        from bevy_gaussian_splatting_tpu.io.loader import resolve_input
+
+        cloud = load_cloud(resolve_input(args.input_cloud))
         if isinstance(cloud, bgs.Gaussian4dCloud):
             args.gaussian_mode = "gaussian_4d"
     elif args.test_model:

@@ -40,9 +40,19 @@ _PAGE = """<!DOCTYPE html>
     <span id="tctl" style="display:none">t <input id="time" type="range"
       min="0" max="1" step="0.01" value="0" style="width:120px"></span>
   </div>
-  <div style="margin-top:4px;opacity:.6">drag: orbit &nbsp; wheel: dolly</div>
+  <div style="margin-top:4px">
+    <button id="selinv">invert selection</button>
+    <button id="selsave">save subset</button>
+    <button id="selclear">clear</button>
+  </div>
+  <div style="margin-top:4px;opacity:.6">drag: orbit &nbsp; wheel: dolly &nbsp;
+    shift+drag: select</div>
 </div>
+<div style="position:relative;width:fit-content;margin:auto">
 <img id="view" width="%W%" height="%H%">
+<div id="selbox" style="position:absolute;border:1px dashed #6f6;
+  background:#6f61;display:none;pointer-events:none"></div>
+</div>
 <script>
 let az = %AZ%, el = %EL%, r = %R%, t = 0, busy = false, dirty = true;
 const img = document.getElementById('view');
@@ -62,16 +72,53 @@ async function refresh() {
   busy = false;
   if (dirty) refresh();
 }
-let drag = null;
-img.addEventListener('mousedown', e => { drag = [e.clientX, e.clientY]; });
-window.addEventListener('mouseup', () => { drag = null; });
+let drag = null, sel = null;
+const selbox = document.getElementById('selbox');
+function imgXY(e) {
+  const b = img.getBoundingClientRect();
+  return [e.clientX - b.left, e.clientY - b.top];
+}
+img.addEventListener('mousedown', e => {
+  if (e.shiftKey) { sel = imgXY(e); e.preventDefault(); }
+  else drag = [e.clientX, e.clientY];
+});
+window.addEventListener('mouseup', async e => {
+  drag = null;
+  if (sel) {
+    const [x1, y1] = imgXY(e);
+    selbox.style.display = 'none';
+    const q = `x0=${sel[0]}&y0=${sel[1]}&x1=${x1}&y1=${y1}&` + url().slice(7);
+    sel = null;
+    const resp = await fetch('/select?' + q);
+    document.getElementById('stats').textContent = await resp.text();
+    refresh();
+  }
+});
 window.addEventListener('mousemove', e => {
+  if (sel) {
+    const [x, y] = imgXY(e);
+    selbox.style.left = Math.min(sel[0], x) + 'px';
+    selbox.style.top = Math.min(sel[1], y) + 'px';
+    selbox.style.width = Math.abs(x - sel[0]) + 'px';
+    selbox.style.height = Math.abs(y - sel[1]) + 'px';
+    selbox.style.display = 'block';
+    return;
+  }
   if (!drag) return;
   az += (e.clientX - drag[0]) * 0.01;
   el = Math.max(-1.5, Math.min(1.5, el + (e.clientY - drag[1]) * 0.01));
   drag = [e.clientX, e.clientY];
   refresh();
 });
+for (const [id, route] of [['selinv', '/select/invert'],
+                           ['selsave', '/select/save'],
+                           ['selclear', '/select/clear']]) {
+  document.getElementById(id).onclick = async () => {
+    const resp = await fetch(route);
+    document.getElementById('stats').textContent = await resp.text();
+    refresh();
+  };
+}
 img.addEventListener('wheel', e => {
   e.preventDefault();
   r *= Math.exp(e.deltaY * 0.001);
@@ -167,6 +214,82 @@ class ViewerState:
         Image.fromarray(u8, mode="RGBA").save(buf, format="PNG")
         return buf.getvalue()
 
+    # -- selection (reference viewer hotkeys I/O + SaveSelectionEvent,
+    #    viewer/viewer.rs:611-677, src/query/select.rs:118-176) --------------
+    def select_rect(self, az, el, r, x0, y0, x1, y1) -> int:
+        """Select gaussians whose projected centers fall inside a screen-space
+        rectangle; selection is written into the visibility channel and the
+        render switches to HIGHLIGHT_SELECTED."""
+        import dataclasses
+
+        import numpy as np
+
+        from bevy_gaussian_splatting_tpu.models.settings import DrawMode
+        from bevy_gaussian_splatting_tpu.query.select import Select, apply_selection
+
+        with self.lock:
+            cam = self.camera(az, el, r)
+            pos = np.asarray(self.cloud.position)
+            clip = np.asarray(cam.clip_from_view @ cam.view_from_world)
+            h = np.concatenate([pos, np.ones((len(pos), 1), np.float32)], 1) @ clip.T
+            w = h[:, 3]
+            valid = w > 1e-8
+            ndc = h[:, :2] / np.maximum(w[:, None], 1e-8)
+            px = (ndc[:, 0] + 1.0) * 0.5 * self.width
+            py = (1.0 - ndc[:, 1]) * 0.5 * self.height
+            inside = (
+                valid
+                & (px >= min(x0, x1)) & (px <= max(x0, x1))
+                & (py >= min(y0, y1)) & (py <= max(y0, y1))
+            )
+            idx = np.nonzero(inside)[0]
+            self.cloud = apply_selection(self.cloud, Select(idx))
+            self.settings = dataclasses.replace(
+                self.settings, draw_mode=DrawMode.HIGHLIGHT_SELECTED
+            )
+            return len(idx)
+
+    def select_invert(self) -> int:
+        from bevy_gaussian_splatting_tpu.query.select import (
+            apply_selection,
+            selection_from_visibility,
+        )
+
+        with self.lock:
+            sel = selection_from_visibility(self.cloud).invert(len(self.cloud))
+            self.cloud = apply_selection(self.cloud, sel)
+            return len(sel)
+
+    def select_clear(self) -> None:
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        from bevy_gaussian_splatting_tpu.models.settings import DrawMode
+
+        with self.lock:
+            self.cloud = self.cloud.with_visibility(
+                jnp.ones(len(self.cloud), jnp.float32)
+            )
+            self.settings = dataclasses.replace(
+                self.settings, draw_mode=DrawMode.ALL
+            )
+
+    def select_save(self, path: str = "live_output.gcloud") -> tuple[int, int]:
+        """Save the selected subset — the reference writes live_output.gcloud
+        (select.rs:155-176)."""
+        from bevy_gaussian_splatting_tpu.query.select import (
+            save_selection,
+            selection_from_visibility,
+        )
+
+        with self.lock:
+            sel = selection_from_visibility(self.cloud)
+            if len(sel) == 0:
+                return 0, 0
+            nbytes = save_selection(self.cloud, sel, path)
+            return len(sel), nbytes
+
     def export_glb(self, path: str) -> int:
         from bevy_gaussian_splatting_tpu.io.scene import (
             write_khr_gaussian_scene_glb,
@@ -233,9 +356,38 @@ def make_handler(state: ViewerState):
                     path = "viewer_export.glb"
                     n = state.export_glb(path)
                     self._send(200, "text/plain", f"wrote {path} ({n} bytes)".encode())
+                elif route == "/select":
+                    q = parse_qs(urlparse(self.path).query)
+
+                    def g(name):
+                        return float(q.get(name, ["0"])[0])
+
+                    az, el, r, _ = self._params()
+                    n = state.select_rect(
+                        az, el, r, g("x0"), g("y0"), g("x1"), g("y1")
+                    )
+                    self._send(200, "text/plain", f"selected {n} gaussians".encode())
+                elif route == "/select/invert":
+                    n = state.select_invert()
+                    self._send(200, "text/plain", f"selected {n} gaussians".encode())
+                elif route == "/select/clear":
+                    state.select_clear()
+                    self._send(200, "text/plain", b"selection cleared")
+                elif route == "/select/save":
+                    count, nbytes = state.select_save()
+                    msg = (
+                        f"saved {count} gaussians to live_output.gcloud ({nbytes} bytes)"
+                        if count else "nothing selected"
+                    )
+                    self._send(200, "text/plain", msg.encode())
                 elif route == "/info":
+                    import numpy as _n
+
                     info = {
                         "gaussians": len(state.cloud),
+                        "selected": int(
+                            (_n.asarray(state.cloud.visibility) >= 0.5).sum()
+                        ),
                         "width": state.width,
                         "height": state.height,
                         "mode": state.settings.gaussian_mode.value,
@@ -291,10 +443,14 @@ def main(argv=None) -> int:
     elif args.input_scene:
         from bevy_gaussian_splatting_tpu.io.loader import load_scene
 
-        scene = load_scene(args.input_scene)
+        from bevy_gaussian_splatting_tpu.io.loader import resolve_input
+
+        scene = load_scene(resolve_input(args.input_scene))
         cloud = scene.clouds[0].cloud
     elif args.input_cloud:
-        cloud = load_cloud(args.input_cloud)
+        from bevy_gaussian_splatting_tpu.io.loader import resolve_input
+
+        cloud = load_cloud(resolve_input(args.input_cloud))
         if isinstance(cloud, bgs.Gaussian4dCloud):
             args.gaussian_mode = "gaussian_4d"
     elif args.test_model:
