@@ -165,6 +165,22 @@ def _pixel_extents(splats: dict, settings: CloudSettings, width, height):
     return cx_px, cy_px, rx, ry
 
 
+def tile_row_range(splats: dict, settings: CloudSettings, width: int, height: int):
+    """Per-splat clipped tile-row interval [ty0, ty1] and activity — EXACTLY
+    the quantities :func:`bin_gaussians` windows bands on (shared so the
+    bounded band exchange routes precisely the rows each band would keep)."""
+    tx_count = width // TILE
+    ty_count = height // TILE
+    cx, cy, rx, ry = _pixel_extents(splats, settings, width, height)
+    active = splats["mask"] & (rx > 0.0) & (ry > 0.0)
+    ty0 = jnp.clip(jnp.floor((cy - ry) / TILE), 0, ty_count - 1).astype(jnp.int32)
+    ty1 = jnp.clip(jnp.floor((cy + ry) / TILE), 0, ty_count - 1).astype(jnp.int32)
+    on_screen = (
+        (cx + rx >= 0.0) & (cx - rx <= width) & (cy + ry >= 0.0) & (cy - ry <= height)
+    )
+    return ty0, ty1, active & on_screen
+
+
 _NEG_INF_I32 = -(2**31 - 1)
 
 

@@ -12,11 +12,17 @@ for TPU meshes per BASELINE.json:
     (replaces the reference's per-camera sorted-entry chunks,
     src/sort/mod.rs:347-354).
 
-Communication pattern (fwd): one all-gather of [N, ~14] f32 splat params per
+Communication pattern (fwd): one exchange of [~14]-col f32 splat params per
 frame (≪ raw cloud bytes — SH coefficients never cross ICI; color is evaluated
-before the gather).  Backward: the transpose (reduce-scatter) runs
-automatically under ``shard_map`` + ``jax.grad``, overlapping with the per-band
-backward compositing.
+before the exchange), either a full ``all_gather`` (default) or the BOUNDED
+band exchange (``exchange="bounded"``, parallel/exchange.py): an all_to_all
+that routes each splat only to the bands its rect intersects, so per-device
+volume scales with band coverage instead of N.  Backward: the all-gather
+transpose (reduce-scatter) runs automatically under ``shard_map`` +
+``jax.grad``; the bounded exchange carries its own custom VJP (reverse
+all_to_all + scatter-free segmented reduction).  Multi-host: see
+parallel/distributed.py (jax.distributed init + hybrid camera=DCN x tiles=ICI
+mesh).
 
 Training: ``make_train_step`` builds a jitted, sharded photometric-loss step
 (L2 on linear premultiplied RGBA) with optax, gradients flowing through the
@@ -47,6 +53,7 @@ from bevy_gaussian_splatting_tpu.ops.rasterize_tile import (
     pairs_budget,
     tile_budget,
     tile_ranges,
+    tile_row_range,
 )
 
 TILES_AXIS = "tiles"
@@ -91,9 +98,17 @@ def _local_band_render(
     height: int,
     n_bands: int,
     compositor: str = "xla",
+    exchange: str = "allgather",
+    band_budget: Optional[int] = None,
 ):
-    """The shard_map body: local projection -> all-gather splats -> composite
-    this device's band of tile rows -> [height/n_bands, width, 4]."""
+    """The shard_map body: local projection -> splat exchange -> composite
+    this device's band of tile rows -> [height/n_bands, width, 4].
+
+    ``exchange``: "allgather" replicates the full projected param set to every
+    device; "bounded" routes each splat only to the bands its rect intersects
+    (parallel/exchange.band_exchange — all_to_all volume scales with band
+    coverage, not N).  ``band_budget``: static per-(source, band) row cap for
+    the bounded mode (default: the no-truncation worst case)."""
     band = jax.lax.axis_index(TILES_AXIS)
     clip_from_world = camera.clip_from_view @ camera.view_from_world
 
@@ -106,34 +121,73 @@ def _local_band_render(
     splats["sort_key"] = back_key
     splats["mask"] = splats["mask"] & (back_key != sort_ops.SENTINEL_KEY)
     params_local = pack_raster_params(splats, settings, width, height)
+    c_params = params_local.shape[-1]
+    band_h = height // n_bands
 
-    gathered = {
-        "params": jax.lax.all_gather(params_local, TILES_AXIS).reshape(
-            -1, params_local.shape[-1]
-        ),
-        "center_ndc": jax.lax.all_gather(splats["center_ndc"], TILES_AXIS).reshape(-1, 2),
-        "mask": jax.lax.all_gather(splats["mask"], TILES_AXIS).reshape(-1),
-        "sort_key": jax.lax.all_gather(splats["sort_key"], TILES_AXIS).reshape(-1),
-        "depth2": jax.lax.all_gather(splats["depth2"], TILES_AXIS).reshape(-1),
-    }
-    # rebuild the minimal splat dict for binning on the gathered set
-    g_splats = {
-        "mask": gathered["mask"],
-        "center_ndc": gathered["center_ndc"],
-        "sort_key": gathered["sort_key"],
-        "depth2": gathered["depth2"],
-    }
+    if exchange == "bounded":
+        from bevy_gaussian_splatting_tpu.parallel.exchange import band_exchange
+
+        ty0, ty1, active = tile_row_range(splats, settings, width, height)
+        band_rows_all = band_h // TILE
+        b0 = ty0 // band_rows_all
+        b1 = ty1 // band_rows_all
+        keyf = jax.lax.bitcast_convert_type(splats["sort_key"], jnp.float32)
+        # NaN-safe: inactive rows (masked projections carry NaN math) never
+        # enter the expansion (span 0), so zero their payload outright
+        payload = jnp.concatenate(
+            [
+                params_local,
+                splats["center_ndc"],
+                keyf[:, None],
+                active.astype(jnp.float32)[:, None],
+            ],
+            axis=1,
+        )
+        payload = jnp.where(active[:, None], payload, 0.0)
+        budget = band_budget if band_budget is not None else params_local.shape[0]
+        received = band_exchange(
+            payload, b0, b1, active, n_bands, budget, TILES_AXIS
+        )
+        rkey = jax.lax.bitcast_convert_type(
+            received[:, c_params + 2], jnp.uint32
+        )
+        g_splats = {
+            "mask": received[:, c_params + 3] > 0.5,
+            "center_ndc": received[:, c_params : c_params + 2],
+            "sort_key": jnp.where(
+                received[:, c_params + 3] > 0.5, rkey, sort_ops.SENTINEL_KEY
+            ),
+        }
+        gathered_params = received[:, :c_params]
+    else:
+        gathered = {
+            "params": jax.lax.all_gather(params_local, TILES_AXIS).reshape(
+                -1, c_params
+            ),
+            "center_ndc": jax.lax.all_gather(
+                splats["center_ndc"], TILES_AXIS
+            ).reshape(-1, 2),
+            "mask": jax.lax.all_gather(splats["mask"], TILES_AXIS).reshape(-1),
+            "sort_key": jax.lax.all_gather(splats["sort_key"], TILES_AXIS).reshape(-1),
+        }
+        # rebuild the minimal splat dict for binning on the gathered set
+        g_splats = {
+            "mask": gathered["mask"],
+            "center_ndc": gathered["center_ndc"],
+            "sort_key": gathered["sort_key"],
+        }
+        gathered_params = gathered["params"]
+
     # bbox extents come from packed params (mode-dependent slot layout)
     if settings.gaussian_mode.value == "gaussian_2d":
-        g_splats["surfel_radius"] = gathered["params"][:, 4]
+        g_splats["surfel_radius"] = gathered_params[:, 4]
     elif settings.aabb:
-        g_splats["conic"] = gathered["params"][:, 2:5]
-        g_splats["radius_vp"] = gathered["params"][:, 5]
+        g_splats["conic"] = gathered_params[:, 2:5]
+        g_splats["radius_vp"] = gathered_params[:, 5]
     else:
-        g_splats["obb_axis"] = gathered["params"][:, 2:4]
-        g_splats["obb_bounds"] = gathered["params"][:, 4:6]
+        g_splats["obb_axis"] = gathered_params[:, 2:4]
+        g_splats["obb_bounds"] = gathered_params[:, 4:6]
 
-    band_h = height // n_bands
     n_total = g_splats["mask"].shape[0]
 
     # Binning runs in the FULL image frame windowed to this band's tile rows,
@@ -157,7 +211,7 @@ def _local_band_render(
     )
     g_s, tile_s, valid_s = bins[0], bins[1], bins[2]
 
-    params_full = gathered["params"]  # full-image-frame params, untouched
+    params_full = gathered_params  # full-image-frame params, untouched
 
     num_band_tiles = (width // TILE) * (band_h // TILE)
     start, end = tile_ranges(tile_s, num_band_tiles)
@@ -210,6 +264,8 @@ def make_sharded_render(
     width: int,
     height: int,
     compositor: str = "xla",
+    exchange: str = "allgather",
+    band_budget: Optional[int] = None,
 ):
     """Jitted sharded forward: (cloud sharded over tiles-axis, camera, ...) ->
     full [H, W, 4] image (replicated)."""
@@ -232,6 +288,7 @@ def make_sharded_render(
         return _local_band_render(
             cloud_shard, camera, settings, model_transform, background, time,
             width, height, n_bands, compositor=compositor,
+            exchange=exchange, band_budget=band_budget,
         )
 
     def fn(cloud, camera, model_transform=None, background=None, time=0.0):
@@ -250,6 +307,8 @@ def make_sharded_render_multicam(
     width: int,
     height: int,
     compositor: str = "xla",
+    exchange: str = "allgather",
+    band_budget: Optional[int] = None,
 ):
     """Camera-parallel x pixel-parallel render on a 2D (camera, tiles) mesh.
 
@@ -283,6 +342,7 @@ def make_sharded_render_multicam(
             return _local_band_render(
                 cloud_shard, camera, settings, model_transform, background,
                 time, width, height, n_bands, compositor=compositor,
+                exchange=exchange, band_budget=band_budget,
             )
 
         return jax.vmap(one)(cameras_shard)
@@ -315,6 +375,8 @@ def make_train_step(
     compositor: str = "xla",
     loss: str = "l2",
     skip_nonfinite: int = 0,
+    exchange: str = "allgather",
+    band_budget: Optional[int] = None,
 ):
     """Sharded differentiable train step: render -> photometric loss vs
     target -> adam update of all gaussian parameters.  Returns
@@ -353,7 +415,8 @@ def make_train_step(
             img_band = _local_band_render(
                 shard, camera, settings, jnp.eye(4, dtype=jnp.float32),
                 jnp.zeros((4,), jnp.float32), time, width, height, n_bands,
-                compositor=compositor,
+                compositor=compositor, exchange=exchange,
+                band_budget=band_budget,
             )
             # differentiate only THIS band's error term: the all_gather
             # transpose (psum-scatter) already accumulates every band's
@@ -392,6 +455,8 @@ def make_train_step_multicam(
     height: int,
     learning_rate: float = 1e-2,
     compositor: str = "xla",
+    exchange: str = "allgather",
+    band_budget: Optional[int] = None,
 ):
     """Camera-parallel x pixel-parallel training on a 2D (camera, tiles)
     mesh: the view batch splits across the camera axis (data parallelism over
@@ -428,7 +493,8 @@ def make_train_step_multicam(
                 img = _local_band_render(
                     shard, camera, settings, jnp.eye(4, dtype=jnp.float32),
                     jnp.zeros((4,), jnp.float32), time, width, height,
-                    n_bands, compositor=compositor,
+                    n_bands, compositor=compositor, exchange=exchange,
+                    band_budget=band_budget,
                 )
                 return jnp.sum((img - tgt) ** 2)
 

@@ -1,0 +1,233 @@
+"""Multi-host backend: bounded band exchange (parity, gradients, volume
+accounting) and the multi-process jax.distributed dry run.
+
+Reference has no distributed layer (SURVEY.md §2.9) — these targets come from
+BASELINE.json's multi-host scaling requirement."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import bevy_gaussian_splatting_tpu as bgs
+from bevy_gaussian_splatting_tpu.parallel.exchange import (
+    band_pair_count,
+    band_pairs_budget,
+    exchange_bytes_per_device,
+)
+from bevy_gaussian_splatting_tpu.parallel.render import (
+    make_mesh,
+    make_sharded_render,
+    make_train_step,
+    shard_cloud,
+)
+
+
+def _np(x):
+    return np.asarray(x)
+
+
+def _scene(n=512, seed=0, spread=1.0):
+    import dataclasses
+
+    c = bgs.random_gaussians_3d_seeded(n, seed=seed)
+    so = _np(c.scale_opacity).copy()
+    so[:, :3] = np.abs(so[:, :3]) * 0.3 + 0.1
+    so[:, 3] = np.clip(np.abs(so[:, 3]), 0.2, 0.9)
+    pos = _np(c.position_visibility).copy()
+    pos[:, :3] *= spread
+    return dataclasses.replace(
+        c,
+        scale_opacity=jnp.asarray(so),
+        position_visibility=jnp.asarray(pos),
+    )
+
+
+WIDTH, HEIGHT = 64, 128
+
+
+class TestBoundedExchange:
+    def _setup(self):
+        mesh = make_mesh(8)
+        cloud = _scene()
+        sharded = shard_cloud(cloud, mesh)
+        camera = bgs.Camera.create(
+            eye=(0.0, 0.0, 60.0), target=(0.0, 0.0, 0.0),
+            width=WIDTH, height=HEIGHT,
+        )
+        return mesh, sharded, camera
+
+    def test_forward_parity_vs_allgather(self):
+        mesh, sharded, camera = self._setup()
+        settings = bgs.CloudSettings()
+        full = make_sharded_render(mesh, settings, WIDTH, HEIGHT)(sharded, camera)
+        bounded = make_sharded_render(
+            mesh, settings, WIDTH, HEIGHT, exchange="bounded"
+        )(sharded, camera)
+        np.testing.assert_array_equal(_np(bounded), _np(full))
+
+    def test_forward_parity_obb_and_2d(self):
+        # OBB lowers identically in both graphs (bit-exact); the 2DGS surfel
+        # homography picks up 1-2 ulp fma/reassociation differences under the
+        # exchange's different fusion context — pair sets and tile lists are
+        # identical (verified by construction: the received rows are the
+        # band-window's own membership in global-index order)
+        mesh, sharded, camera = self._setup()
+        for settings, exact in (
+            (bgs.CloudSettings(aabb=False), True),
+            (bgs.CloudSettings(gaussian_mode=bgs.GaussianMode.GAUSSIAN_2D), False),
+        ):
+            full = make_sharded_render(mesh, settings, WIDTH, HEIGHT)(
+                sharded, camera
+            )
+            bounded = make_sharded_render(
+                mesh, settings, WIDTH, HEIGHT, exchange="bounded"
+            )(sharded, camera)
+            if exact:
+                np.testing.assert_array_equal(_np(bounded), _np(full))
+            else:
+                np.testing.assert_allclose(_np(bounded), _np(full), atol=2e-5)
+
+    def test_gradient_parity_vs_allgather(self):
+        mesh, sharded, camera = self._setup()
+        settings = bgs.CloudSettings()
+        target = make_sharded_render(mesh, settings, WIDTH, HEIGHT)(
+            sharded, camera
+        )
+        results = {}
+        for exchange in ("allgather", "bounded"):
+            step, init = make_train_step(
+                mesh, settings, WIDTH, HEIGHT, learning_rate=1e-2,
+                exchange=exchange,
+            )
+            new_cloud, _, loss = step(sharded, init(sharded), camera, target)
+            results[exchange] = (new_cloud, float(loss))
+        np.testing.assert_allclose(
+            results["allgather"][1], results["bounded"][1], rtol=1e-6
+        )
+        import dataclasses
+
+        for f in dataclasses.fields(results["allgather"][0]):
+            np.testing.assert_allclose(
+                _np(getattr(results["allgather"][0], f.name)),
+                _np(getattr(results["bounded"][0], f.name)),
+                atol=1e-6, err_msg=f.name,
+            )
+
+    def test_truncating_budget_still_renders(self):
+        mesh, sharded, camera = self._setup()
+        settings = bgs.CloudSettings()
+        img = make_sharded_render(
+            mesh, settings, WIDTH, HEIGHT, exchange="bounded", band_budget=8
+        )(sharded, camera)
+        a = _np(img)
+        assert np.isfinite(a).all()
+
+    def test_volume_scales_with_coverage_not_n(self):
+        """The bounded exchange's received bytes are set by the rows that
+        actually intersect bands (coverage); the all-gather's by N.  Doubling
+        N with the extra gaussians off-screen doubles all-gather volume but
+        leaves the bounded budget unchanged."""
+        import dataclasses
+
+        from bevy_gaussian_splatting_tpu.ops.project import project_gaussians
+        from bevy_gaussian_splatting_tpu.ops import sort as sort_ops
+        from bevy_gaussian_splatting_tpu.ops.rasterize_tile import tile_row_range
+
+        settings = bgs.CloudSettings()
+        camera = bgs.Camera.create(
+            eye=(0.0, 0.0, 60.0), target=(0.0, 0.0, 0.0),
+            width=WIDTH, height=HEIGHT,
+        )
+
+        def measured_budget(cloud):
+            """Exact max per-(source, band) row count -> headroom budget."""
+            splats = project_gaussians(cloud, camera, settings)
+            key = sort_ops.radix_depth_key(
+                cloud.position, jnp.eye(4),
+                camera.clip_from_view @ camera.view_from_world,
+                camera.world_position, 32,
+            )
+            splats["mask"] = splats["mask"] & (key != sort_ops.SENTINEL_KEY)
+            ty0, ty1, active = tile_row_range(splats, settings, WIDTH, HEIGHT)
+            rows_per_band = (HEIGHT // 16) // 8
+            b0 = _np(ty0) // rows_per_band
+            b1 = _np(ty1) // rows_per_band
+            act = _np(active)
+            n_local = len(act) // 8
+            worst = 0
+            for src in range(8):
+                sl = slice(src * n_local, (src + 1) * n_local)
+                for d in range(8):
+                    cnt = int((act[sl] & (b0[sl] <= d) & (b1[sl] >= d)).sum())
+                    worst = max(worst, cnt)
+            return band_pairs_budget(n_local, hint=worst)
+
+        n = 8192
+        small = _scene(n)
+        # same visible content + n far-off-screen gaussians, INTERLEAVED so
+        # every source shard keeps the same visible row count (budget sizing
+        # is per-source; concentrating visibles would be a genuine skew)
+        big_pv = _np(small.position_visibility).copy()
+        extra = big_pv.copy()
+        extra[:, 0] += 1e6  # far outside the frustum
+
+        def interleave(a, b):
+            out = np.empty((2 * n,) + a.shape[1:], a.dtype)
+            out[0::2] = a
+            out[1::2] = b
+            return jnp.asarray(out)
+
+        double = dataclasses.replace(
+            small,
+            position_visibility=interleave(big_pv, extra),
+            spherical_harmonic=interleave(
+                _np(small.spherical_harmonic), _np(small.spherical_harmonic)
+            ),
+            rotation=interleave(_np(small.rotation), _np(small.rotation)),
+            scale_opacity=interleave(
+                _np(small.scale_opacity), _np(small.scale_opacity)
+            ),
+        )
+        b_small = measured_budget(small)
+        b_double = measured_budget(double)
+        cols = 14
+        v_small = exchange_bytes_per_device(n, 8, cols, b_small)
+        v_double = exchange_bytes_per_device(2 * n, 8, cols, b_double)
+        # all-gather volume doubles with N...
+        assert v_double["allgather"] == 2 * v_small["allgather"]
+        # ...the bounded exchange volume tracks coverage (same visible set)
+        assert v_double["bounded"] <= v_small["bounded"] * 1.5
+        # and is far below replication for band-local content
+        assert v_small["bounded"] < v_small["allgather"]
+
+
+class TestMultiProcess:
+    def test_spawned_multihost_dryrun(self):
+        """2 local processes x 2 CPU devices coordinate via jax.distributed
+        and run one camera-parallel x pixel-parallel training step on the
+        hybrid (camera=DCN, tiles=ICI) mesh — with the bounded exchange."""
+        from bevy_gaussian_splatting_tpu.parallel.distributed import (
+            spawn_multihost_dryrun,
+        )
+
+        msg = spawn_multihost_dryrun(
+            num_processes=2, devices_per_process=2, exchange="bounded"
+        )
+        assert "multihost dryrun OK" in msg
+        assert "'camera': 2" in msg and "'tiles': 2" in msg
+
+
+class TestHybridMeshLayout:
+    def test_single_process_mesh(self):
+        from bevy_gaussian_splatting_tpu.parallel.distributed import (
+            make_multihost_mesh,
+        )
+
+        mesh = make_multihost_mesh(camera_parallel=2)  # 1 process, 8 devices
+        assert mesh.shape["camera"] == 2 and mesh.shape["tiles"] == 4
+        # tiles rows are contiguous device ids (process-local / ICI ordering)
+        ids = np.vectorize(lambda d: d.id)(np.asarray(mesh.devices))
+        for row in ids:
+            assert list(row) == sorted(row)
