@@ -120,6 +120,56 @@ def surfel_bounding_radius(extent: jnp.ndarray, cutoff: jnp.ndarray) -> jnp.ndar
     )
 
 
+def surfel_affine_coeffs(
+    local_to_pixel: jnp.ndarray,  # [..., 3, 3]
+    mean_2d: jnp.ndarray,  # [..., 2]
+    width,
+):
+    """Folded affine form of the fragment homography intersection.
+
+    (pcx*c - a) x (pcy*c - b) with a/b/c the columns of T expands to
+    pcx*(bxc) + pcy*(cxa) + (axb); substituting pcx = m2x + dxn*width gives
+    q = dxn*A + dyn*B + C with
+
+        A = width*(bxc),  B = width*(cxa),  C = m2x*(bxc) + m2y*(cxa) + axb.
+
+    One shared precompute keeps the oracle, the XLA compositor and the Pallas
+    kernels bit-consistent; the expansion also removes the original cross
+    product's pcx*pcy*(cxc) cancellation noise.  Returns (A, B, C), each
+    [..., 3]."""
+    a = local_to_pixel[..., :, 0]
+    b = local_to_pixel[..., :, 1]
+    c = local_to_pixel[..., :, 2]
+    u = jnp.cross(b, c)
+    v = jnp.cross(c, a)
+    w_ = jnp.cross(a, b)
+    wf = jnp.asarray(width, jnp.float32)
+    m2x = mean_2d[..., 0:1]
+    m2y = mean_2d[..., 1:2]
+    return wf * u, wf * v, m2x * u + m2y * v + w_
+
+
+def surfel_affine_power(
+    A: jnp.ndarray,  # [..., 3]
+    B: jnp.ndarray,
+    C: jnp.ndarray,
+    dxn: jnp.ndarray,  # [...] pixel offset from the splat center, NDC
+    dyn: jnp.ndarray,
+    width,
+) -> jnp.ndarray:
+    """-0.5 * min(s3d, 2 * d2) from the folded coefficients (see
+    surfel_affine_coeffs); d2 = width^2*(dxn^2 + dyn^2) is the doubled-frame
+    2D distance (both axes scale by width, gaussian_2d.wgsl quirk)."""
+    q = dxn[..., None] * A + dyn[..., None] * B + C
+    pz = jnp.where(jnp.abs(q[..., 2]) > 1e-12, q[..., 2], 1e-12)
+    us = q[..., 0] / pz
+    vs = q[..., 1] / pz
+    s3d = us * us + vs * vs
+    w2 = jnp.asarray(width, jnp.float32) ** 2
+    d2 = (dxn * dxn + dyn * dyn) * w2
+    return -0.5 * jnp.minimum(s3d, 2.0 * d2)
+
+
 def surfel_fragment_power(
     local_to_pixel: jnp.ndarray,  # [..., 3, 3]
     pixel_coord: jnp.ndarray,  # [..., 2] in the reference's fragment frame

@@ -41,18 +41,66 @@ def _gather_col_splits(p: int, c: int) -> list:
     return [(0, c)]
 
 
+_ROW_SPLIT_ENABLED = False  # see _row_split_count
+
+
+def _row_split_count(p: int, cols: int) -> int:
+    """Sub-cliff ROW split for multi-M tables — MEASURED REGRESSION, default
+    OFF.  The idea: a [p, cols<=8] piece above the cliff even at 8 columns
+    could be split into k row blocks that each gather at the fast rate
+    (k * 7 ns/row vs 24 ns/row for k <= 3).  On-device (2026-08-20, 4M bench)
+    the ``optimization_barrier`` needed to stop XLA from fusing the row slice
+    back into a full-table gather also serializes the surrounding graph:
+    4M fwd regressed 253 -> 470 ms.  Kept behind _ROW_SPLIT_ENABLED for
+    future re-evaluation with a barrier-free formulation (e.g. donated
+    pre-split tables)."""
+    if not _ROW_SPLIT_ENABLED:
+        return 1
+    piece_bytes = p * min(cols, 8) * 4
+    if piece_bytes <= _GATHER_CLIFF_BYTES:
+        return 1
+    k = -(-piece_bytes // _GATHER_CLIFF_BYTES)
+    return int(k) if k * _FAST_NS < _SLOW_NS else 1
+
+
+def _gather_piece(piece, idx, n_rows: int):
+    """piece[idx] with the sub-cliff row split (no-op when k == 1).
+
+    ``optimization_barrier`` pins each row block as its own buffer so XLA
+    cannot fuse the slice back into a gather on the full-size table (which
+    would re-pay the above-cliff rate)."""
+    k = _row_split_count(n_rows, piece.shape[1])
+    if k == 1:
+        return piece[idx]
+    rp = -(-n_rows // k)
+    out = None
+    for i in range(k):
+        blk = jax.lax.optimization_barrier(piece[i * rp : min((i + 1) * rp, n_rows)])
+        local = jnp.clip(idx - i * rp, 0, blk.shape[0] - 1)
+        g = blk[local]
+        if out is None:
+            out = g
+        else:
+            sel = idx >= i * rp
+            out = jnp.where(sel[:, None], g, out)
+    return out
+
+
 def gather_rows(table, idx, c_live: int):
     """table[idx] restricted to the first ``c_live`` columns, split per the
-    cliff model -> [len(idx), c_live].
+    cliff model (column split into <= 8-col pieces; row split into sub-cliff
+    blocks for multi-M tables) -> [len(idx), c_live].
 
     Public helper: the serving-path params gather (ops/rasterize_tile.py)
     and the training cores below share this cost model."""
     p = table.shape[0]
     splits = _gather_col_splits(p, c_live)
-    if len(splits) == 1:
+    if len(splits) == 1 and _row_split_count(p, c_live) == 1:
         sliced = table[:, :c_live] if c_live < table.shape[1] else table
         return sliced[idx]
-    return jnp.concatenate([table[:, a:b][idx] for a, b in splits], axis=1)
+    return jnp.concatenate(
+        [_gather_piece(table[:, a:b], idx, p) for a, b in splits], axis=1
+    )
 
 
 _gather_rows = gather_rows  # back-compat alias

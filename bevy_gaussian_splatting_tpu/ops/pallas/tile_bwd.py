@@ -88,38 +88,33 @@ def _alpha_and_partials(chunk, px_vp, py_vp, mode: str, width: int, height: int)
     cy = chunk[1:2, :]
     opacity = chunk[rgb_row(mode) + 3 : rgb_row(mode) + 4, :]
     if mode == "2d":
-        # surfel homography (gaussian_2d.wgsl:134-156); see tile_fwd._chunk_alpha
+        # slim affine surfel (folded homography; see pack_raster_params /
+        # tile_fwd._chunk_alpha): q = dxn*A + dyn*B + C
         px_ndc = px_vp * (1.0 / width)
         py_ndc = py_vp * (1.0 / height)
-        m2x = chunk[2:3, :]
-        m2y = chunk[3:4, :]
-        mr = chunk[4:5, :]
+        mr = chunk[2:3, :]
         dxn = px_ndc - cx
         dyn = py_ndc - cy
         inside = (jnp.abs(dxn) * width <= mr) & (jnp.abs(dyn) * height <= mr)
-        pcx = m2x + dxn * width
-        pcy = m2y + dyn * width
-        t = [chunk[5 + i : 6 + i, :] for i in range(9)]
-        hu = [pcx * t[3 * r + 2] - t[3 * r + 0] for r in range(3)]
-        hv = [pcy * t[3 * r + 2] - t[3 * r + 1] for r in range(3)]
-        px_ = hu[1] * hv[2] - hu[2] * hv[1]
-        py_ = hu[2] * hv[0] - hu[0] * hv[2]
-        pz_raw = hu[0] * hv[1] - hu[1] * hv[0]
+        A = [chunk[3 + i : 4 + i, :] for i in range(3)]
+        B = [chunk[6 + i : 7 + i, :] for i in range(3)]
+        px_ = dxn * A[0] + dyn * B[0] + chunk[9:10, :]
+        py_ = dxn * A[1] + dyn * B[1] + chunk[10:11, :]
+        pz_raw = dxn * A[2] + dyn * B[2] + chunk[11:12, :]
         pz_ = jnp.where(jnp.abs(pz_raw) > 1e-12, pz_raw, 1e-12)
         us = px_ / pz_
         vs = py_ / pz_
         s3d = us * us + vs * vs
-        d2 = (m2x - pcx) ** 2 + (m2y - pcy) ** 2
+        d2 = (dxn * dxn + dyn * dyn) * (float(width) * float(width))
         power = -0.5 * jnp.minimum(s3d, 2.0 * d2)
         g = jnp.where(inside, jnp.exp(power), 0.0)
         raw = g * opacity
         capped = raw >= ALPHA_CAP
         alpha = jnp.minimum(raw, ALPHA_CAP)
         return alpha, {
-            "g": g, "capped": capped, "dxn": dxn, "dyn": dyn,
-            "pcx": pcx, "pcy": pcy, "hu": hu, "hv": hv, "t": t,
+            "g": g, "capped": capped, "dxn": dxn, "dyn": dyn, "A": A, "B": B,
             "us": us, "vs": vs, "pz": pz_, "pz_raw": pz_raw,
-            "s3d": s3d, "d2": d2, "m2x": m2x, "m2y": m2y,
+            "s3d": s3d, "d2": d2,
         }
     if mode == "aabb":
         dx = cx - px_vp
@@ -285,12 +280,11 @@ def _backward_kernel(
             dcy = jnp.sum(dpower * dpdy, axis=0, keepdims=True)
             head = [dcx, dcy, da, db, dcc, zeros]  # radius: mask-only, grad 0
         elif mode == "2d":
-            # surfel chain: power = -1/2 min(s3d, 2 d2);
-            # s3d = us^2 + vs^2 with (us, vs) = (px_, py_)/pz_ from the
-            # hu x hv cross product; d2 = W^2 (dxn^2 + dyn^2)
+            # slim surfel chain: power = -1/2 min(s3d, 2 d2);
+            # s3d = us^2 + vs^2 with (us, vs) = (qx, qy)/qz and
+            # q = dxn*A + dyn*B + C; d2 = W^2 (dxn^2 + dyn^2)
             us, vs, pz = aux["us"], aux["vs"], aux["pz"]
-            hu, hv, tt = aux["hu"], aux["hv"], aux["t"]
-            pcx, pcy = aux["pcx"], aux["pcy"]
+            A, B = aux["A"], aux["B"]
             dxn, dyn = aux["dxn"], aux["dyn"]
             take3d = aux["s3d"] <= 2.0 * aux["d2"]  # min() picks s3d branch
             ds3d = jnp.where(take3d, -0.5 * dpower, 0.0)
@@ -298,38 +292,23 @@ def _backward_kernel(
 
             dus = ds3d * 2.0 * us
             dvs = ds3d * 2.0 * vs
-            dpx = dus / pz
-            dpy = dvs / pz
-            dpz = -(dus * us + dvs * vs) / pz
+            dq0 = dus / pz
+            dq1 = dvs / pz
+            dq2 = -(dus * us + dvs * vs) / pz
             # clamp transpose: no gradient where |pz_raw| <= 1e-12
-            dpz = jnp.where(jnp.abs(aux["pz_raw"]) > 1e-12, dpz, 0.0)
-            # cross product transpose: p = hu x hv -> dhu = hv x dp, dhv = dp x hu
-            dp = (dpx, dpy, dpz)
-            dhu = [hv[1] * dp[2] - hv[2] * dp[1],
-                   hv[2] * dp[0] - hv[0] * dp[2],
-                   hv[0] * dp[1] - hv[1] * dp[0]]
-            dhv = [dp[1] * hu[2] - dp[2] * hu[1],
-                   dp[2] * hu[0] - dp[0] * hu[2],
-                   dp[0] * hu[1] - dp[1] * hu[0]]
-            # hu_r = pcx t[r,2] - t[r,0]; hv_r = pcy t[r,2] - t[r,1]
-            dt = []
-            for r in range(3):
-                dt.append(jnp.sum(-dhu[r], axis=0, keepdims=True))  # t[r,0]
-                dt.append(jnp.sum(-dhv[r], axis=0, keepdims=True))  # t[r,1]
-                dt.append(jnp.sum(dhu[r] * pcx + dhv[r] * pcy, axis=0,
-                                  keepdims=True))  # t[r,2]
-            dpcx = sum(dhu[r] * tt[3 * r + 2] for r in range(3))
-            dpcy = sum(dhv[r] * tt[3 * r + 2] for r in range(3))
-            # d2 = W^2 (dxn^2 + dyn^2): independent of m2 (terms cancel)
+            dq2 = jnp.where(jnp.abs(aux["pz_raw"]) > 1e-12, dq2, 0.0)
+            dq = (dq0, dq1, dq2)
+            # q_k = dxn*A_k + dyn*B_k + C_k
+            dA = [jnp.sum(dq[k] * dxn, axis=0, keepdims=True) for k in range(3)]
+            dB = [jnp.sum(dq[k] * dyn, axis=0, keepdims=True) for k in range(3)]
+            dC = [jnp.sum(dq[k], axis=0, keepdims=True) for k in range(3)]
             w2 = float(width) * float(width)
-            ddxn = dd2 * 2.0 * w2 * dxn + dpcx * width
-            ddyn = dd2 * 2.0 * w2 * dyn + dpcy * width
+            ddxn = dd2 * 2.0 * w2 * dxn + sum(dq[k] * A[k] for k in range(3))
+            ddyn = dd2 * 2.0 * w2 * dyn + sum(dq[k] * B[k] for k in range(3))
             # dxn = px_ndc - cx ; dyn = py_ndc - cy
             dcx = jnp.sum(-ddxn, axis=0, keepdims=True)
             dcy = jnp.sum(-ddyn, axis=0, keepdims=True)
-            dm2x = jnp.sum(dpcx, axis=0, keepdims=True)
-            dm2y = jnp.sum(dpcy, axis=0, keepdims=True)
-            head = [dcx, dcy, dm2x, dm2y, zeros] + dt  # mr: mask-only, grad 0
+            head = [dcx, dcy, zeros] + dA + dB + dC  # mr: mask-only, grad 0
         else:
             u, v = aux["u"], aux["v"]
             b1, b2 = aux["b1"], aux["b2"]

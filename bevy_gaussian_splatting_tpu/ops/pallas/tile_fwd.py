@@ -39,7 +39,7 @@ from bevy_gaussian_splatting_tpu.models.settings import CloudSettings, GaussianM
 TILE = 16
 PIX = TILE * TILE  # 256
 PW = 16  # padded param width (3D/4D modes)
-PW_2D = 24  # 2DGS surfel layout: 18 live columns, padded to a sublane multiple
+PW_2D = 16  # 2DGS slim affine surfel layout: 16 live columns (folded homography)
 CHUNK = 512  # splats per DMA/compute chunk
 ALPHA_CAP = 0.999
 TRANS_EPS = 1.0 / 255.0
@@ -54,7 +54,7 @@ def param_width(mode: str) -> int:
 
 def rgb_row(mode: str) -> int:
     """Row index of the first color column (alpha follows at +3)."""
-    return 14 if mode == "2d" else 6
+    return 12 if mode == "2d" else 6
 
 
 def kernel_mode(settings: CloudSettings) -> str:
@@ -94,32 +94,23 @@ def _chunk_alpha(chunk, px_vp, py_vp, mode: str, width: int, height: int,
     opacity = chunk[rgb_row(mode) + 3 : rgb_row(mode) + 4, :]
     edge = None
     if mode == "2d":
-        # surfel homography intersection (gaussian_2d.wgsl:134-156); params:
-        # [cx_ndc, cy_ndc, m2x, m2y, mr, T00..T22 row-major, r, g, b, alpha]
+        # slim affine surfel (gaussian_2d.wgsl:134-156 folded; see
+        # pack_raster_params): [cx, cy, mr, A, B, C (xyz each), r, g, b, alpha]
         px_ndc = px_vp * (1.0 / width)
         py_ndc = py_vp * (1.0 / height)
-        m2x = chunk[2:3, :]
-        m2y = chunk[3:4, :]
-        mr = chunk[4:5, :]
+        mr = chunk[2:3, :]
         dxn = px_ndc - cx
         dyn = py_ndc - cy
         inside = (jnp.abs(dxn) * width <= mr) & (jnp.abs(dyn) * height <= mr)
-        pcx = m2x + dxn * width
-        pcy = m2y + dyn * width  # doubled-frame quirk: *width on both axes
-        hu0 = pcx * chunk[7:8, :] - chunk[5:6, :]
-        hv0 = pcy * chunk[7:8, :] - chunk[6:7, :]
-        hu1 = pcx * chunk[10:11, :] - chunk[8:9, :]
-        hv1 = pcy * chunk[10:11, :] - chunk[9:10, :]
-        hu2 = pcx * chunk[13:14, :] - chunk[11:12, :]
-        hv2 = pcy * chunk[13:14, :] - chunk[12:13, :]
-        px_ = hu1 * hv2 - hu2 * hv1
-        py_ = hu2 * hv0 - hu0 * hv2
-        pz_ = hu0 * hv1 - hu1 * hv0
+        px_ = dxn * chunk[3:4, :] + dyn * chunk[6:7, :] + chunk[9:10, :]
+        py_ = dxn * chunk[4:5, :] + dyn * chunk[7:8, :] + chunk[10:11, :]
+        pz_ = dxn * chunk[5:6, :] + dyn * chunk[8:9, :] + chunk[11:12, :]
         pz_ = jnp.where(jnp.abs(pz_) > 1e-12, pz_, 1e-12)
         us = px_ / pz_
         vs = py_ / pz_
         s3d = us * us + vs * vs
-        d2 = (m2x - pcx) ** 2 + (m2y - pcy) ** 2
+        # doubled-frame quirk: both axes scale by width
+        d2 = (dxn * dxn + dyn * dyn) * (float(width) * float(width))
         power = -0.5 * jnp.minimum(s3d, 2.0 * d2)
         g = jnp.where(inside, jnp.exp(power), 0.0)
         if with_edge:

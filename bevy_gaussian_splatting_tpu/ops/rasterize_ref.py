@@ -88,8 +88,16 @@ def _fragment_alpha_3d_obb(splat, px_vp, py_vp, viewport):
 
 def _fragment_alpha_2d(splat, px_ndc, py_ndc, viewport):
     """2DGS surfel falloff in the reference's fragment frame (see
-    ops/gaussian_2d.py docstring for the doubled-coordinate quirk)."""
-    from bevy_gaussian_splatting_tpu.ops.gaussian_2d import surfel_fragment_power
+    ops/gaussian_2d.py docstring for the doubled-coordinate quirk).
+
+    Uses the folded affine form (surfel_affine_coeffs) shared with the
+    production compositors — algebraically identical to the WGSL's
+    hu x hv cross product (gaussian_2d.wgsl:134-156) and better conditioned
+    (the expansion removes the pcx*pcy*(c x c) cancellation term)."""
+    from bevy_gaussian_splatting_tpu.ops.gaussian_2d import (
+        surfel_affine_coeffs,
+        surfel_affine_power,
+    )
 
     w = viewport[0]
     mr = splat["surfel_radius"]
@@ -100,11 +108,8 @@ def _fragment_alpha_2d(splat, px_ndc, py_ndc, viewport):
     inside = (jnp.abs(dx_ndc) * viewport[0] <= mr) & (
         jnp.abs(dy_ndc) * viewport[1] <= mr
     )
-    m2d = splat["mean_2d"]
-    pixel_coord = jnp.stack(
-        [m2d[0] + dx_ndc * w, m2d[1] + dy_ndc * w], axis=-1
-    )  # [H, W, 2]
-    power = surfel_fragment_power(splat["surfel_t"], pixel_coord, m2d)
+    A, B, C = surfel_affine_coeffs(splat["surfel_t"], splat["mean_2d"], w)
+    power = surfel_affine_power(A, B, C, dx_ndc, dy_ndc, w)
     safe_mr = jnp.maximum(mr, 1e-12)
     uv = jnp.maximum(
         jnp.abs(dx_ndc) * viewport[0], jnp.abs(dy_ndc) * viewport[1]

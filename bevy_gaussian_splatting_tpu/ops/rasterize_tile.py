@@ -76,8 +76,13 @@ def pairs_budget(
     ``quantum`` instead of the coarse buckets.  Every P-proportional stage
     (pair sort, expansion, gathers, inverse sort) scales with the BUDGET, not
     the real pair count, so coarse buckets can cost ~40% extra; the caller
-    accepts a recompile whenever the measured count crosses a quantum."""
-    cap = int(min(max(6 * n, 1 << 14), 3 << 21))
+    accepts a recompile whenever the measured count crosses a quantum.
+
+    The hard cap (12.6M pairs ~ 2 GB of P-proportional training buffers)
+    exists for memory safety at extreme N; when it binds, the farthest pairs
+    are truncated (tests/test_tiled.py bounds the image error of a binding
+    cap)."""
+    cap = int(min(max(6 * n, 1 << 14), 3 << 22))
     if hint is None:
         return cap
     need = max(int(hint * headroom) + 1, 1 << 14)
@@ -544,7 +549,7 @@ def bin_gaussians(
 
 def _serving_params_gather(params, g_s):
     """params[g_s] through the gather-cliff column-split cost model
-    (ops/pallas/core.py) — matters for the 18-col 2DGS layout, whose 1M-row
+    (ops/pallas/core.py) — matters for wide layouts whose 1M-row
     table sits above the 64 MiB gather cliff."""
     from bevy_gaussian_splatting_tpu.ops.pallas.core import gather_rows
 
@@ -620,14 +625,30 @@ def pack_raster_params(splats: dict, settings: CloudSettings, width, height) -> 
     alpha = splats["alpha"] * splats["mask"].astype(jnp.float32)
 
     if settings.gaussian_mode == GaussianMode.GAUSSIAN_2D:
-        T = splats["surfel_t"].reshape(-1, 9)
+        # Slim surfel layout: the fragment's homography intersection
+        # (gaussian_2d.wgsl:134-156) is (pcx*c - a) x (pcy*c - b) with a/b/c
+        # the columns of T — which expands to pcx*(bxc) + pcy*(cxa) + (axb).
+        # Substituting pcx = m2x + dxn*width collapses everything into ONE
+        # affine map of the pixel offset:  q = dxn*A + dyn*B + C  with
+        #   A = width*(bxc), B = width*(cxa), C = m2x*(bxc) + m2y*(cxa) + axb
+        # so the per-fragment work drops from 6 fma + 9-term cross product to
+        # 6 fma, and the packed width from 18 to 16 columns (m2/T are folded).
+        # d2 = (m2 - pc)^2 = width^2*(dxn^2 + dyn^2) needs no m2 either.
+        from bevy_gaussian_splatting_tpu.ops.gaussian_2d import (
+            surfel_affine_coeffs,
+        )
+
+        A, B, C = surfel_affine_coeffs(
+            splats["surfel_t"], splats["mean_2d"], width
+        )
         cols = [
             splats["center_ndc"][:, 0],
             splats["center_ndc"][:, 1],
-            splats["mean_2d"][:, 0],
-            splats["mean_2d"][:, 1],
             splats["surfel_radius"],
-        ] + [T[:, i] for i in range(9)]
+            A[:, 0], A[:, 1], A[:, 2],
+            B[:, 0], B[:, 1], B[:, 2],
+            C[:, 0], C[:, 1], C[:, 2],
+        ]
     elif settings.aabb:
         conic = splats["conic"]
         cols = [cx_vp, cy_vp, conic[:, 0], conic[:, 1], conic[:, 2], splats["radius_vp"]]
@@ -646,32 +667,27 @@ def _eval_chunk_gaussian(params, px_vp, py_vp, px_ndc, py_ndc, settings, width, 
     params [T, C, P]-ready: here [..., C_params]; pixel arrays [..., 256].
     Returns alpha in [0, ALPHA_CAP]."""
     if settings.gaussian_mode == GaussianMode.GAUSSIAN_2D:
+        # slim affine surfel layout (see pack_raster_params):
+        # [cx, cy, mr, Ax, Ay, Az, Bx, By, Bz, Cx, Cy, Cz, rgb, alpha]
         cx_ndc = params[..., 0:1]
         cy_ndc = params[..., 1:2]
-        m2x = params[..., 2:3]
-        m2y = params[..., 3:4]
-        mr = params[..., 4:5]
-        t = [params[..., 5 + i : 6 + i] for i in range(9)]
+        mr = params[..., 2:3]
         dxn = px_ndc - cx_ndc
         dyn = py_ndc - cy_ndc
         inside = (jnp.abs(dxn) * width <= mr) & (jnp.abs(dyn) * height <= mr)
-        pcx = m2x + dxn * width
-        pcy = m2y + dyn * width
         uvm = jnp.maximum(jnp.abs(dxn) * width, jnp.abs(dyn) * height) / jnp.maximum(mr, 1e-12)
         edge = inside & (uvm > 1.0 - 2.0 * 0.08)
-        # surfel_fragment_power inline (gaussian_2d.wgsl:134-156); T columns:
-        # T0 = (t0, t1, t2), T1 = (t3, t4, t5), T2 = (t6, t7, t8) in math rows
-        # stored row-major [3, 3]: t[3 * r + c] = T[r][c]; columns c fixed.
-        hu = [pcx * t[3 * r + 2] - t[3 * r + 0] for r in range(3)]
-        hv = [pcy * t[3 * r + 2] - t[3 * r + 1] for r in range(3)]
-        px_ = hu[1] * hv[2] - hu[2] * hv[1]
-        py_ = hu[2] * hv[0] - hu[0] * hv[2]
-        pz_ = hu[0] * hv[1] - hu[1] * hv[0]
+        # q = dxn*A + dyn*B + C — the surfel_fragment_power homography
+        # intersection (gaussian_2d.wgsl:134-156) in folded affine form
+        px_ = dxn * params[..., 3:4] + dyn * params[..., 6:7] + params[..., 9:10]
+        py_ = dxn * params[..., 4:5] + dyn * params[..., 7:8] + params[..., 10:11]
+        pz_ = dxn * params[..., 5:6] + dyn * params[..., 8:9] + params[..., 11:12]
         pz_ = jnp.where(jnp.abs(pz_) > 1e-12, pz_, 1e-12)
         us = px_ / pz_
         vs = py_ / pz_
         s3d = us * us + vs * vs
-        d2 = (m2x - pcx) ** 2 + (m2y - pcy) ** 2
+        # doubled-frame quirk: both axes scale by width (gaussian_2d.wgsl)
+        d2 = (dxn * dxn + dyn * dyn) * jnp.float32(width * width)
         power = -0.5 * jnp.minimum(s3d, 2.0 * d2)
         g = jnp.where(inside, jnp.exp(power), 0.0)
     elif settings.aabb:

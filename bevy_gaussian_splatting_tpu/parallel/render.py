@@ -180,7 +180,7 @@ def _local_band_render(
 
     # bbox extents come from packed params (mode-dependent slot layout)
     if settings.gaussian_mode.value == "gaussian_2d":
-        g_splats["surfel_radius"] = gathered_params[:, 4]
+        g_splats["surfel_radius"] = gathered_params[:, 2]
     elif settings.aabb:
         g_splats["conic"] = gathered_params[:, 2:5]
         g_splats["radius_vp"] = gathered_params[:, 5]

@@ -24,10 +24,10 @@ CLOUD = bgs.random_gaussians_3d_seeded(400, seed=1)
 
 
 class TestPallasForward:
-    def _parity(self, settings, **kw):
+    def _parity(self, settings, atol=2e-5, **kw):
         a = _np(render_oracle(CLOUD, CAM, settings, **kw))
         b = _np(render_tiled(CLOUD, CAM, settings, compositor="pallas", **kw))
-        np.testing.assert_allclose(b, a, atol=2e-5)
+        np.testing.assert_allclose(b, a, atol=atol)
 
     def test_obb(self):
         self._parity(bgs.CloudSettings())
@@ -47,8 +47,10 @@ class TestPallasForward:
         np.testing.assert_allclose(b, a, atol=2e-5)
 
     def test_2dgs_surfel(self):
+        # 1e-4: shared folded surfel coefficients, fma-contraction ulps near
+        # the pz ~ 0 singularity (see tests/test_tiled.py::test_2dgs)
         s = bgs.CloudSettings(gaussian_mode=bgs.GaussianMode.GAUSSIAN_2D)
-        self._parity(s)
+        self._parity(s, atol=1e-4)
 
     def test_bbox_visualization(self):
         self._parity(bgs.CloudSettings(visualize_bounding_box=True))
