@@ -19,6 +19,7 @@ from __future__ import annotations
 import io
 import json
 import math
+import os
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -305,8 +306,40 @@ class ViewerState:
             return write_khr_gaussian_scene_glb(clouds, path)
 
 
-def make_handler(state: ViewerState):
-    is4d = type(state.cloud).__name__ == "Gaussian4dCloud"
+def make_handler(state: ViewerState, gallery_dir=None, base_args=None):
+    box = {"state": state}
+    manifest = None
+    if gallery_dir:
+        manifest_path = os.path.join(gallery_dir, "examples", "examples.json")
+        if not os.path.exists(manifest_path):
+            manifest_path = os.path.join(
+                os.path.dirname(gallery_dir.rstrip("/")) or ".",
+                "examples", "examples.json",
+            )
+        if os.path.exists(manifest_path):
+            with open(manifest_path) as fh:
+                manifest = json.load(fh)
+
+    def switch_example(example_id: str) -> ViewerState:
+        """Rebuild the live state from a gallery manifest entry's CLI args —
+        the reference gallery's per-example viewer links
+        (www/examples/examples.json base_viewer + args)."""
+        from bevy_gaussian_splatting_tpu.viewer.headless import build_parser
+
+        entry = next(
+            (e for e in (manifest or {}).get("examples", []) if e["id"] == example_id),
+            None,
+        )
+        if entry is None:
+            raise KeyError(f"unknown example id {example_id!r}")
+        p = build_parser()
+        ex_args = p.parse_args(entry["args"])
+        ex_args.width = base_args.width if base_args is not None else 512
+        ex_args.height = base_args.height if base_args is not None else 512
+        ex_args.impl = getattr(base_args, "impl", "auto")
+        new_state = build_state_from_args(ex_args)
+        box["state"] = new_state
+        return new_state
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
@@ -325,11 +358,38 @@ def make_handler(state: ViewerState):
             def f(name, default):
                 return float(q.get(name, [default])[0])
 
+            state = box["state"]
             return f("az", 0.0), f("el", 0.3), f("r", state.radius), f("t", 0.0)
 
         def do_GET(self):
             route = urlparse(self.path).path
+            state = box["state"]
+            is4d = type(state.cloud).__name__ == "Gaussian4dCloud"
             try:
+                if gallery_dir and route in ("/gallery", "/gallery/"):
+                    with open(os.path.join(gallery_dir, "index.html"), "rb") as fh:
+                        self._send(200, "text/html", fh.read())
+                    return
+                if gallery_dir and route.startswith("/thumbnails/"):
+                    name = os.path.basename(route)
+                    path = os.path.join(gallery_dir, "thumbnails", name)
+                    if not os.path.exists(path):
+                        self._send(404, "text/plain", b"no thumbnail")
+                        return
+                    with open(path, "rb") as fh:
+                        self._send(200, "image/png", fh.read())
+                    return
+                if gallery_dir and route == "/examples/examples.json":
+                    self._send(
+                        200, "application/json", json.dumps(manifest).encode()
+                    )
+                    return
+                if gallery_dir and route.startswith("/example/"):
+                    state = switch_example(route.split("/example/", 1)[1])
+                    self.send_response(302)
+                    self.send_header("Location", "/")
+                    self.end_headers()
+                    return
                 if route == "/":
                     page = (
                         _PAGE.replace("%W%", str(state.width))
@@ -406,15 +466,9 @@ def make_handler(state: ViewerState):
     return Handler
 
 
-def main(argv=None) -> int:
-    from bevy_gaussian_splatting_tpu.viewer.headless import build_parser
-
-    p = build_parser()
-    p.add_argument("--port", type=int, default=8720)
-    p.add_argument("--orbit-radius", type=float, default=None,
-                   help="initial camera distance (default: |eye - target|)")
-    args = p.parse_args(argv)
-
+def build_state_from_args(args) -> ViewerState:
+    """Construct a ViewerState from parsed headless-CLI args — shared by
+    ``main`` and the gallery's live ``/example/<id>`` scene switching."""
     import jax.numpy as jnp
 
     import bevy_gaussian_splatting_tpu as bgs
@@ -437,13 +491,9 @@ def main(argv=None) -> int:
         stream.wait_idle()
         cloud = stream.resident_cloud()
         if cloud is None:
-            import bevy_gaussian_splatting_tpu as _bgs
-
-            cloud = _bgs.random_gaussians_3d_seeded(1, 0)  # placeholder until chunks land
+            cloud = bgs.random_gaussians_3d_seeded(1, 0)  # until chunks land
     elif args.input_scene:
-        from bevy_gaussian_splatting_tpu.io.loader import load_scene
-
-        from bevy_gaussian_splatting_tpu.io.loader import resolve_input
+        from bevy_gaussian_splatting_tpu.io.loader import load_scene, resolve_input
 
         scene = load_scene(resolve_input(args.input_scene))
         cloud = scene.clouds[0].cloud
@@ -473,14 +523,35 @@ def main(argv=None) -> int:
     )
     eye = args.eye
     target = args.target
-    radius = args.orbit_radius or math.dist(eye, target) or 5.0
-    state = ViewerState(
+    radius = getattr(args, "orbit_radius", None) or math.dist(eye, target) or 5.0
+    return ViewerState(
         cloud, settings, args.width, args.height,
         jnp.asarray(args.background, jnp.float32), target, radius, args.impl,
         scene=scene, stream=stream,
     )
 
-    server = ThreadingHTTPServer(("0.0.0.0", args.port), make_handler(state))
+
+def main(argv=None) -> int:
+    from bevy_gaussian_splatting_tpu.viewer.headless import build_parser
+
+    p = build_parser()
+    p.add_argument("--port", type=int, default=8720)
+    p.add_argument("--orbit-radius", type=float, default=None,
+                   help="initial camera distance (default: |eye - target|)")
+    p.add_argument("--gallery", default=None, metavar="DIR",
+                   help="serve the demo gallery built by tools/build_www.py "
+                        "(index at /gallery; /example/<id> switches the live "
+                        "scene)")
+    args = p.parse_args(argv)
+
+    state = build_state_from_args(args)
+    cloud = state.cloud
+    radius = state.radius
+
+    server = ThreadingHTTPServer(
+        ("0.0.0.0", args.port),
+        make_handler(state, gallery_dir=args.gallery, base_args=args),
+    )
     print(f"viewer: {len(cloud)} gaussians at http://localhost:{args.port}/ "
           f"({args.width}x{args.height})", flush=True)
     t0 = time.perf_counter()

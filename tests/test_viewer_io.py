@@ -98,6 +98,102 @@ class TestHttpIngestion:
         assert a == b == b"hello"
 
 
+class TestGallery:
+    def test_build_and_serve_gallery(self, tmp_path):
+        """tools/build_www.py renders manifest thumbnails + generates the
+        gallery page; the viewer serves it and /example/<id> switches the
+        live scene (reference: tools/build_www.sh + www/examples gallery)."""
+        import json as _json
+        import sys
+
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(bgs.__file__)))
+        manifest = {
+            "schema_version": 1,
+            "examples": [
+                {
+                    "id": "test-model",
+                    "title": "test model",
+                    "description": "deterministic corner cloud",
+                    "tags": ["test"],
+                    "thumbnail": "thumbnails/test-model.png",
+                    "args": ["--test-model", "--eye", "1.2", "1.5", "3"],
+                },
+                {
+                    "id": "seeded",
+                    "title": "seeded",
+                    "description": "seeded random cloud",
+                    "tags": ["3d"],
+                    "thumbnail": "thumbnails/seeded.png",
+                    "args": ["--gaussian-count", "500", "--seed", "7",
+                             "--eye", "0", "0", "60"],
+                },
+            ],
+        }
+        mpath = tmp_path / "examples.json"
+        mpath.write_text(_json.dumps(manifest))
+        www = tmp_path / "www"
+        env = dict(
+            os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="",
+            PYTHONPATH=repo_root + os.pathsep + os.environ.get("PYTHONPATH", ""),
+        )
+        r = subprocess.run(
+            [sys.executable, os.path.join(repo_root, "tools", "build_www.py"),
+             "--manifest", str(mpath), "--out", str(www), "--size", "64"],
+            env=env, capture_output=True, text=True, timeout=600,
+        )
+        assert r.returncode == 0, r.stdout + r.stderr
+        assert (www / "index.html").exists()
+        assert (www / "thumbnails" / "test-model.png").exists()
+        assert (www / "examples" / "examples.json").exists()
+        page = (www / "index.html").read_text()
+        assert "/example/test-model" in page and "seeded random cloud" in page
+
+        # serve it and drive the example switch over HTTP
+        port = 8000 + ((os.getpid() + 31) % 2000)
+        proc = subprocess.Popen(
+            [sys.executable, "-m", "bevy_gaussian_splatting_tpu.viewer.serve",
+             "--test-model", "--width", "64", "--height", "64",
+             "--port", str(port), "--gallery", str(www)],
+            cwd=str(tmp_path), env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            start_new_session=True,
+        )
+
+        def get(route):
+            return urllib.request.urlopen(
+                f"http://127.0.0.1:{port}{route}", timeout=15
+            )
+
+        try:
+            deadline = time.monotonic() + 240
+            while time.monotonic() < deadline:
+                time.sleep(2)
+                if proc.poll() is not None:
+                    raise AssertionError(
+                        "viewer exited: " + proc.stdout.read()[-1500:]
+                    )
+                try:
+                    get("/info")
+                    break
+                except Exception:
+                    continue
+            body = get("/gallery").read().decode()
+            assert "example gallery" in body
+            png = get("/thumbnails/test-model.png").read()
+            assert png[:4] == b"\x89PNG"
+            # switch the live scene to the seeded example (302 -> /)
+            get("/example/seeded")
+            import json as _j
+
+            info = _j.loads(get("/info").read())
+            assert info["gaussians"] == 500
+            frame = get("/frame?az=0&el=0.3&r=60").read()
+            assert frame[:4] == b"\x89PNG"
+        finally:
+            os.killpg(proc.pid, signal.SIGTERM)
+            proc.wait(timeout=10)
+
+
 class TestViewerSelection:
     def test_http_selection_drive(self, tmp_path):
         """Drive select -> save -> invert -> clear over HTTP; the subset lands
