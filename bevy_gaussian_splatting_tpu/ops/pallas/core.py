@@ -162,14 +162,20 @@ def get_train_core_windowed(settings: CloudSettings, width: int, height: int,
     """custom_vjp training core for the pallas-expansion pipeline:
 
       fwd: params_sorted = params[g_s]; forward kernel -> out_raw
-      bwd: backward kernel -> per-pair grads (sorted layout) -> one gather to
-           pre-sort slot order -> windowed segmented-sum kernel
-           (ops/pallas/reduce.py) -> per-RANK grads -> one N-row gather by
-           the inverse permutation -> per-gaussian grads in cloud order.
+      bwd: backward kernel -> per-pair grads (sorted layout, [C, P] rows) ->
+           ONE stable sort keyed on the carried depth-rank owner (gidx_s)
+           that reorders every live gradient column to expansion-slot order
+           -> windowed segmented-sum kernel (ops/pallas/reduce.py) ->
+           per-RANK grads -> one N-row gather by the inverse permutation ->
+           per-gaussian grads in cloud order.
 
-    Replaces get_train_core's lane-major segmented scan + ends/offsets
-    gathers with the reduction kernel; index/table args are non-diff
-    byproducts of binning (expand='pallas')."""
+    Why a SORT instead of the earlier inverse-permutation gather: lax.sort
+    applies its permutation to every carried operand at ~1 ms/operand per
+    1M rows with NO table-size cliff, while building inv_pair costs a 2-op
+    P-sort and the [P, C] gradient gather pays the 7-24 ns/row gather wall
+    (24 above 64 MiB — the multi-M superlinearity).  Stability makes the
+    rank-keyed sort reproduce slot order exactly: within a rank, tile-
+    ascending pair order IS the rect enumeration order."""
     if full_height is None:
         full_height = height
     key = (settings.static_key(), width, height, interpret, k_max, full_height)
@@ -182,9 +188,13 @@ def get_train_core_windowed(settings: CloudSettings, width: int, height: int,
     )
 
     num_tiles = (width // tile_fwd.TILE) * (height // tile_fwd.TILE)
+    # gradient rows that are identically zero (mask-only params) need not
+    # ride the reorder sort: aabb radius (row 5), 2DGS surfel radius (row 2)
+    mode = tile_fwd.kernel_mode(settings)
+    zero_rows = {"aabb": (5,), "2d": (2,)}.get(mode, ())
 
     @jax.custom_vjp
-    def core(params, g_s, valid_s, start, count, inv_pair, table, g0s, rank,
+    def core(params, g_s, valid_s, start, count, gidx_s, table, g0s, rank,
              y0):
         params_sorted = _gather_rows(params, g_s, params.shape[1])
         return tile_fwd.pallas_forward_raw(
@@ -192,19 +202,19 @@ def get_train_core_windowed(settings: CloudSettings, width: int, height: int,
             interpret=interpret, y0=y0, full_height=full_height,
         )
 
-    def core_fwd(params, g_s, valid_s, start, count, inv_pair, table, g0s,
+    def core_fwd(params, g_s, valid_s, start, count, gidx_s, table, g0s,
                  rank, y0):
         params_sorted = _gather_rows(params, g_s, params.shape[1])
         out_raw = tile_fwd.pallas_forward_raw(
             params_sorted, start, count, settings, width, height,
             interpret=interpret, y0=y0, full_height=full_height,
         )
-        res = (params_sorted, start, count, out_raw, inv_pair, table, g0s,
-               rank, y0)
+        res = (params_sorted, start, count, out_raw, valid_s, gidx_s, table,
+               g0s, rank, y0)
         return out_raw, res
 
     def core_bwd(res, g_out):
-        (params_sorted, start, count, out_raw, inv_pair, table, g0s,
+        (params_sorted, start, count, out_raw, valid_s, gidx_s, table, g0s,
          rank, y0) = res
         n = rank.shape[0]
         c_par = params_sorted.shape[1]
@@ -212,21 +222,31 @@ def get_train_core_windowed(settings: CloudSettings, width: int, height: int,
         o = out_raw.reshape(num_tiles, 8, tile_fwd.PIX)
         gbar = jnp.concatenate([g[:, :4, :], o[:, :3, :], o[:, 3:4, :]],
                                axis=1)
-        dsorted = tile_bwd.pallas_composite_backward(
+        dsorted_t = tile_bwd.pallas_composite_backward(
             params_sorted, start, count, gbar, settings, width, height,
             interpret=interpret, y0=y0, full_height=full_height,
+            transposed=True,
+        )  # [c_par, P]
+        # sorted pair order -> pre-sort slot order via ONE stable sort on the
+        # depth-rank owner; invalid pairs (zero rows) key to the sentinel n
+        # so they land on the tail slots exactly like the expansion's
+        sort_key = jnp.where(valid_s, gidx_s, jnp.int32(n))
+        live = [i for i in range(c_par) if i not in zero_rows]
+        sorted_ops = jax.lax.sort(
+            (sort_key,) + tuple(dsorted_t[i] for i in live),
+            num_keys=1, is_stable=True,
         )
-        # sorted pair order -> pre-sort slot order (contiguous per gaussian);
-        # column-split per the gather cliff model (sub-64-MiB sub-tables
-        # gather 3.4x faster — tools/profile_bwd_gather.py)
-        dslot = _gather_rows(dsorted, inv_pair, c_par)
+        it = iter(sorted_ops[1:])
+        rows = [
+            jnp.zeros_like(sort_key, dtype=jnp.float32)
+            if i in zero_rows else next(it)
+            for i in range(c_par)
+        ]
         # the lane-major reduce DMAs [cw, CHUNK] slices: cw must be a sublane
-        # multiple, so pad the row count up to the kernel width
-        dslot_t = dslot.T
-        if dslot_t.shape[0] % 8:
-            dslot_t = jnp.pad(
-                dslot_t, ((0, 8 - dslot_t.shape[0] % 8), (0, 0))
-            )
+        # multiple, so pad the row count up to a multiple of 8
+        if c_par % 8:
+            rows += [rows[0] * 0.0] * (8 - c_par % 8)
+        dslot_t = jnp.stack(rows, axis=0)
         drank = pallas_segment_reduce(dslot_t, table, g0s, n,
                                       interpret=interpret)
         # rank gather through the same cliff model (live columns only)
@@ -238,8 +258,8 @@ def get_train_core_windowed(settings: CloudSettings, width: int, height: int,
 
         # table is f32 (its cotangent must be a real zero array, not float0);
         # it is int-derived and unused upstream, so XLA DCEs it
-        return (dparams, nil(inv_pair), nil(inv_pair), nil(start),
-                nil(count), nil(inv_pair), jnp.zeros_like(table), nil(g0s),
+        return (dparams, nil(gidx_s), nil(gidx_s), nil(start),
+                nil(count), nil(gidx_s), jnp.zeros_like(table), nil(g0s),
                 nil(rank), nil(y0))
 
     core.defvjp(core_fwd, core_bwd)

@@ -368,13 +368,15 @@ def bin_gaussians(
     searchsorted (see slot_owner_scan).
 
     ``with_inverse=True`` additionally returns the training-path reduction
-    artifacts (all integer, non-differentiable):
+    artifacts (all integer, non-differentiable).  XLA expansion:
       inv_pair [P]   sorted position of each pre-sort expansion slot
       off_cloud [N]  first expansion slot of each gaussian (cloud order)
       cnt_cloud [N]  expansion slot count of each gaussian (cloud order)
-    These let the backward pass turn per-pair gradients into per-gaussian
-    gradients with one gather + a contiguous segmented sum — replacing the
-    XLA scatter-add (measured 0.6 GB/s) entirely."""
+    Pallas expansion: (gidx_s [P] depth-rank owner per sorted pair, the
+    expansion table, chunk owners g0s, and rank [N]) — the backward reorders
+    per-pair gradients to slot order by re-sorting on gidx_s.  Either way the
+    backward turns per-pair gradients into per-gaussian gradients with
+    sort/scan machinery only — no XLA scatter-add (measured 0.6 GB/s)."""
     tx_count = width // TILE
     ty_count = height // TILE
     n = splats["mask"].shape[0]
@@ -529,6 +531,27 @@ def bin_gaussians(
         )
         return g_s, tile_s, tile_s < sentinel, total
 
+    if expand == "pallas":
+        # The backward reorders per-pair gradients to expansion-slot order by
+        # SORTING them on the carried depth-rank owner (stable: within a rank
+        # the tile-ascending pair order IS the rect enumeration order), so
+        # the pair sort carries gidx instead of slots and the O(P)
+        # inverse-permutation sort + P-row gradient gather disappear entirely
+        # (ops/pallas/core.get_train_core_windowed) — sorts also have no
+        # 64 MiB gather-rate cliff, which is what made the gather path
+        # superlinear at multi-M pair budgets.
+        tile_s, g_s, gidx_s = jax.lax.sort(
+            (tile.astype(jnp.int32), g_orig, gidx), num_keys=1, is_stable=True
+        )
+        valid_s = tile_s < sentinel
+        # depth-rank of each cloud index: inverse of the depth pre-sort perm
+        _, rank = jax.lax.sort(
+            (perm, jnp.arange(n, dtype=jnp.int32)), num_keys=1
+        )
+        # windowed-reduction artifacts (ops/pallas/reduce.py): the expansion
+        # table + chunk owners drive the backward's segmented sum; rank maps
+        # the depth-ordered result back to cloud order
+        return g_s, tile_s, valid_s, total, gidx_s, table, g0s, rank
     tile_s, g_s, slot_s = jax.lax.sort(
         (tile.astype(jnp.int32), g_orig, slots), num_keys=1, is_stable=True
     )
@@ -537,11 +560,6 @@ def bin_gaussians(
     _, inv_pair = jax.lax.sort((slot_s, slots), num_keys=1)
     # depth-rank of each cloud index: inverse of the depth pre-sort perm
     _, rank = jax.lax.sort((perm, jnp.arange(n, dtype=jnp.int32)), num_keys=1)
-    if expand == "pallas":
-        # windowed-reduction artifacts (ops/pallas/reduce.py): the expansion
-        # table + chunk owners drive the backward's segmented sum; rank maps
-        # the depth-ordered result back to cloud order
-        return g_s, tile_s, valid_s, total, inv_pair, table, g0s, rank
     oc = jnp.stack([offsets, counts], axis=1)[rank]  # one gather, not two
     return (g_s, tile_s, valid_s, total, inv_pair, gidx, oc[:, 0],
             oc[:, 1])
@@ -983,12 +1001,12 @@ def render_tiled(
                 composite_epilogue,
             )
 
-            inv_pair, table, g0s, rank = bins[4:8]
+            gidx_s, table, g0s, rank = bins[4:8]
             core = get_train_core_windowed(
                 settings, width, height, interpret, k_max
             )
             out_raw = core(
-                params, g_s, valid_s, start, count, inv_pair, table, g0s,
+                params, g_s, valid_s, start, count, gidx_s, table, g0s,
                 rank, jnp.zeros((1,), jnp.int32),
             )
             return composite_epilogue(out_raw, background, width, height)

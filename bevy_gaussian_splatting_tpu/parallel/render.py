@@ -235,13 +235,13 @@ def _local_band_render(
         # windowed scatter-free gradient reduction; in forward-only renders
         # the unused inverse artifacts are DCE'd.
         count = jnp.minimum(end - start, k_max)
-        inv_pair, table, g0s, rank = bins[4:8]
+        gidx_s, table, g0s, rank = bins[4:8]
         core = get_train_core_windowed(
             settings, width, band_h, interpret, k_max, full_height=height
         )
         y0_rows = (band * band_h).astype(jnp.int32).reshape(1)
         out_raw = core(
-            params_full, g_s, valid_s, start, count, inv_pair, table, g0s,
+            params_full, g_s, valid_s, start, count, gidx_s, table, g0s,
             rank, y0_rows,
         )
         return composite_epilogue(out_raw, background, width, band_h)
