@@ -238,6 +238,67 @@ class TestAdaptiveBudget:
         same = _np(render_tiled(cloud, CAM, settings, pairs_max=total + 4096))
         np.testing.assert_array_equal(same, full)
 
+    def test_kmax_truncation_error_bounded(self):
+        """The per-tile budget keeps the FRONTMOST k_max splats (count =
+        min(end - start, k_max) over front-to-back-sorted pairs), so overflow
+        drops the most-occluded ones and the image error is bounded by the
+        transmittance remaining at the cut: full = trunc + sum_{i>k} c a T_i
+        with every T_i <= T_cut and sum a T_i <= T_cut."""
+        import dataclasses as _dc
+
+        from bevy_gaussian_splatting_tpu.ops import sort as sort_ops
+        from bevy_gaussian_splatting_tpu.ops.project import project_gaussians
+        from bevy_gaussian_splatting_tpu.ops.rasterize_tile import (
+            composite_tiles,
+            pack_raster_params,
+        )
+
+        # concentrate many translucent splats into few tiles so per-tile
+        # counts far exceed the small k_max below
+        cloud = bgs.random_gaussians_3d_seeded(3000, seed=13)
+        so = _np(cloud.scale_opacity).copy()
+        so[:, :3] = np.abs(so[:, :3]) * 0.5 + 0.3
+        so[:, 3] = 0.08  # low alpha: transmittance decays slowly
+        pv = _np(cloud.position_visibility).copy()
+        pv[:, :2] *= 0.15
+        cloud = _dc.replace(
+            cloud,
+            scale_opacity=jnp.asarray(so),
+            position_visibility=jnp.asarray(pv),
+        )
+        settings = bgs.CloudSettings()
+        mt = jnp.eye(4, dtype=jnp.float32)
+        splats = project_gaussians(cloud, CAM, settings, mt)
+        back_key = sort_ops.radix_depth_key(
+            cloud.position, mt, CAM.clip_from_view @ CAM.view_from_world,
+            CAM.world_position, settings.radix_sort_depth_bits.bits,
+        )
+        splats["sort_key"] = back_key
+        splats["mask"] = splats["mask"] & (back_key != sort_ops.SENTINEL_KEY)
+        g_s, tile_s, valid_s, _ = bin_gaussians(
+            splats, settings, 128, 128, 1 << 14
+        )
+        params = pack_raster_params(splats, settings, 128, 128)[g_s]
+        start, end = tile_ranges(tile_s, 64)
+        assert int(_np(end - start).max()) > 96, "scene must overflow k_max"
+
+        def run(k):
+            return _np(composite_tiles(
+                params, valid_s, start, end, settings, 128, 128, k_max=k
+            ))
+
+        full = run(1 << 13)
+        trunc = run(64)
+        t_cut = 1.0 - trunc[..., 3]  # transmittance remaining at the cut
+        err = np.abs(trunc - full)
+        # exact per-pixel bound (x2 margin: rgb magnitudes can exceed 1)
+        assert (err[..., :3] <= 2.0 * t_cut[..., None] + 1e-5).all()
+        assert (err[..., 3] <= t_cut + 1e-5).all()
+        # the truncation must actually have dropped something
+        assert err.max() > 1e-4
+        # a non-binding k_max is exact
+        np.testing.assert_array_equal(run(1 << 12), full)
+
     def test_packed_carry_matches_gather_fallback(self):
         # bin_gaussians bit-packs binning columns through the depth sort only
         # when the tile grid fits 7 bits per axis; the big-grid gather
