@@ -29,16 +29,25 @@ _FAST_NS, _SLOW_NS = 7.0, 24.0
 
 def _gather_col_splits(p: int, c: int) -> list:
     """Column slices for gathering a [p, c] f32 table by ~p indices, chosen
-    by the measured cliff model: one full-width gather, or ceil(c/8)-piece
-    8-column gathers whose sub-tables each fit under the cliff.  In-jit at
-    the 2M-pair budget the split saves ~24 ms (119 -> 95 ms params-leaf
-    step, tools/profile_bwd_gather.py)."""
-    single = _SLOW_NS if p * c * 4 > _GATHER_CLIFF_BYTES else _FAST_NS
-    pieces = (c + 7) // 8
-    per_piece = _SLOW_NS if p * 32 > _GATHER_CLIFF_BYTES else _FAST_NS
-    if pieces * per_piece < single:
-        return [(i * 8, min((i + 1) * 8, c)) for i in range(pieces)]
-    return [(0, c)]
+    by the measured cliff model: pick the piece width w (8, 4, or 2 columns)
+    minimizing ceil(c/w) * rate(w), where rate is 7 ns/row when the [p, w]
+    sub-table fits under the 64 MiB cliff and 24 ns/row above.  In-jit at
+    the 2M-pair budget the 8-col split saves ~24 ms (119 -> 95 ms
+    params-leaf step, tools/profile_bwd_gather.py); at 4M-row tables only
+    narrower pieces stay sub-cliff (e.g. [4M, 4] = 64 MiB)."""
+    def rate(w):
+        return _SLOW_NS if p * w * 4 > _GATHER_CLIFF_BYTES else _FAST_NS
+
+    best_w, best_cost = c, c and rate(c)
+    for w in (8, 4, 2):
+        if w >= c:
+            continue
+        cost = -(-c // w) * rate(w)
+        if cost < best_cost:
+            best_w, best_cost = w, cost
+    if best_w >= c:
+        return [(0, c)]
+    return [(i * best_w, min((i + 1) * best_w, c)) for i in range(-(-c // best_w))]
 
 
 _ROW_SPLIT_ENABLED = False  # see _row_split_count
@@ -104,6 +113,15 @@ def gather_rows(table, idx, c_live: int):
 
 
 _gather_rows = gather_rows  # back-compat alias
+
+
+# Backward-kernel chunk size (tunable: BGS_BWD_CHUNK env var at import).
+# 512 matches the forward kernel's measured optimum; the knob exists for
+# on-device ablation since the backward's per-chunk work profile differs
+# (two lane scans + ~11 sublane reductions vs one scan + 3).
+import os as _os
+
+_BWD_CHUNK = int(_os.environ.get("BGS_BWD_CHUNK", tile_fwd.CHUNK))
 
 
 _CORE_CACHE: dict = {}
@@ -225,7 +243,7 @@ def get_train_core_windowed(settings: CloudSettings, width: int, height: int,
         dsorted_t = tile_bwd.pallas_composite_backward(
             params_sorted, start, count, gbar, settings, width, height,
             interpret=interpret, y0=y0, full_height=full_height,
-            transposed=True,
+            transposed=True, chunk_size=_BWD_CHUNK,
         )  # [c_par, P]
         # sorted pair order -> pre-sort slot order via ONE stable sort on the
         # depth-rank owner; invalid pairs (zero rows) key to the sentinel n

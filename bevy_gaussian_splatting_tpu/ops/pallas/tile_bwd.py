@@ -190,45 +190,12 @@ def _backward_kernel(
     total_rgb = [gbar_ref[4 + i : 5 + i, :].T for i in range(3)]
     t_fin = gbar_ref[7:8, :].T
 
-    # ---- MXU moment-reduction setup -------------------------------------
-    # Every per-parameter pixel reduction below is a sum over pixels of
-    # (per-element tensor) x (polynomial in the pixel coordinates), because
-    # dx/dy/u/v/dxn are affine in the pixel position with per-LANE (splat)
-    # coefficients.  One matmul per per-element tensor X,
-    #     mom[r, l] = sum_p m_mom[r, p] X[p, l]        (precision=HIGHEST),
-    # yields the raw moments; the per-splat gradients assemble from them with
-    # [1, CHUNK]-row algebra, replacing ~6-9 mul+sublane-reduce passes over
-    # [PIX, CHUNK] per chunk.  Monomials are CENTERED at the tile center so
-    # the per-lane de-centering terms (|center - tile_center| ~ splat radius)
-    # cannot cancel catastrophically against pixel-coordinate magnitudes.
-    lpix = jax.lax.broadcasted_iota(jnp.int32, (1, PIX), 1)
-    qx = 2.0 * ((lpix % TILE).astype(jnp.float32) - 7.5)  # px_vp - tcx
-    qy = -2.0 * ((lpix // TILE).astype(jnp.float32) - 7.5)  # py_vp - tcy
-    txf = (t % tx_count).astype(jnp.float32)
-    tyf = (t // tx_count).astype(jnp.float32)
-    tcx = 2.0 * (txf * TILE + 8.0) - width  # tile-center px_vp
-    tcy = full_height - 2.0 * (
-        tyf * TILE + 8.0 + y0_ref[0].astype(jnp.float32)
-    )  # tile-center py_vp
-    if mode == "2d":  # 2DGS works in NDC units
-        qx = qx * (1.0 / width)
-        qy = qy * (1.0 / full_height)
-        tcx = tcx * (1.0 / width)
-        tcy = tcy * (1.0 / full_height)
-    ones_row = jnp.ones((1, PIX), jnp.float32)
-    m_mom = jnp.concatenate(
-        [ones_row, qx, qy, qx * qx, qx * qy, qy * qy,
-         jnp.zeros((2, PIX), jnp.float32)],
-        axis=0,
-    )  # [8, PIX]
-
-    def _mm(lhs, rhs):  # [R, PIX] @ [PIX, CHUNK] -> [R, CHUNK], f32-exact
-        return jax.lax.dot_general(
-            lhs, rhs,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+    # (Reformulating the per-parameter pixel reductions as MXU moment
+    # matmuls against centered pixel monomials was MEASURED SLOWER on v5e
+    # (2026-08-20): each [few, PIX] @ [PIX, CHUNK] dot pads its small axis to
+    # a full 128 MXU tile and precision=HIGHEST — required for f32-faithful
+    # gradients — multiplies that by 6, so every dot costs ~200 MFLOP-eq vs
+    # the ~2-pass VPU mul+sublane-reduce it replaces.  Keep the VPU form.)
 
     n_chunks = jnp.where(count > 0, pl.cdiv(total, chunk_size), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk_size), 1)
@@ -283,16 +250,13 @@ def _backward_kernel(
         T_i = excl * trans  # [PIX, CHUNK] transmittance in front of splat i
         w = alpha * T_i
 
-        # dL/dc_i and the ghat-weighted color sum ride the MXU:
-        #   dc[ch, l] = sum_p ghat[ch, p] w[p, l]
-        #   gc[p, l]  = sum_ch ghat[ch, p] c[ch, l]
-        dc3 = _mm(gbar_ref[0:3, :], w)  # [3, CHUNK]
-        gc = jax.lax.dot_general(
-            gbar_ref[0:3, :], chunk[ro : ro + 3, :],
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # [PIX, CHUNK]
+        crgb = [chunk[ro + ch : ro + ch + 1, :] for ch in range(3)]
+
+        # dL/dc_i: reduce over pixels
+        dc = [jnp.sum(w * ghat_rgb[ch], axis=0, keepdims=True) for ch in range(3)]
+
+        # ghat-weighted color sum gc_i = sum_ch ghat_ch c_ch,i; q_i = gc_i w_i
+        gc = sum(ghat_rgb[ch] * crgb[ch] for ch in range(3))
         q = gc * w
         inv_om = 1.0 / jnp.maximum(one_minus, 1e-6)
         local_excl = _cumsum_lanes_exclusive(q)
@@ -306,46 +270,31 @@ def _backward_kernel(
 
         g = aux["g"]
         opacity = chunk[ro + 3 : ro + 4, :]
-        cx_r = chunk[0:1, :]
-        cy_r = chunk[1:2, :]
-        # X1 = dalpha g; every remaining pixel reduction is a moment of X1
-        # (or of the 2DGS dq_k/dd2 chains) against centered pixel monomials —
-        # ONE MXU matmul replaces the mul + sublane-reduce passes
-        X1 = dalpha * g
-        mom = _mm(m_mom, X1)  # [8, CHUNK]; rows: S0 Sx Sy Sxx Sxy Syy 0 0
-        m0 = mom[0:1, :]
-        dop = m0  # sum_p dalpha g
-        ox = cx_r - tcx
-        oy = cy_r - tcy
+        dop = jnp.sum(dalpha * g, axis=0, keepdims=True)
+        dpower = dalpha * g * opacity  # == dalpha * alpha_raw (pre-cap)
 
         zeros = jnp.zeros_like(dop)
         if mode == "aabb":
-            # dx = cx - px = ox - qx, so S(dx^k dy^j) assembles from the
-            # centered moments; dpower = opacity X1 folds in as a final scale
-            mx_, my_ = mom[1:2, :], mom[2:3, :]
-            mxx, mxy, myy = mom[3:4, :], mom[4:5, :], mom[5:6, :]
-            sdx = ox * m0 - mx_
-            sdy = oy * m0 - my_
-            sdxx = ox * ox * m0 - 2.0 * ox * mx_ + mxx
-            sdyy = oy * oy * m0 - 2.0 * oy * my_ + myy
-            sdxy = ox * oy * m0 - ox * my_ - oy * mx_ + mxy
+            dx, dy = aux["dx"], aux["dy"]
+            da = jnp.sum(dpower * (-0.5 * dx * dx), axis=0, keepdims=True)
+            db = jnp.sum(dpower * (dx * dy), axis=0, keepdims=True)
+            dcc = jnp.sum(dpower * (-0.5 * dy * dy), axis=0, keepdims=True)
             a_ = chunk[2:3, :]
             b_ = chunk[3:4, :]
             c_ = chunk[4:5, :]
-            da = -0.5 * opacity * sdxx
-            dcc = -0.5 * opacity * sdyy
-            db = opacity * sdxy
-            # dpower (-a dx + b dy) and (-c dy + b dx) summed over pixels
-            dcx = opacity * (-a_ * sdx + b_ * sdy)
-            dcy = opacity * (-c_ * sdy + b_ * sdx)
+            dpdx = -a_ * dx + b_ * dy
+            dpdy = -c_ * dy + b_ * dx
+            dcx = jnp.sum(dpower * dpdx, axis=0, keepdims=True)  # ddx/dcx=+1
+            dcy = jnp.sum(dpower * dpdy, axis=0, keepdims=True)
             head = [dcx, dcy, da, db, dcc, zeros]  # radius: mask-only, grad 0
         elif mode == "2d":
             # slim surfel chain: power = -1/2 min(s3d, 2 d2);
             # s3d = us^2 + vs^2 with (us, vs) = (qx, qy)/qz and
             # q = dxn*A + dyn*B + C; d2 = W^2 (dxn^2 + dyn^2)
             us, vs, pz = aux["us"], aux["vs"], aux["pz"]
+            A, B = aux["A"], aux["B"]
+            dxn, dyn = aux["dxn"], aux["dyn"]
             take3d = aux["s3d"] <= 2.0 * aux["d2"]  # min() picks s3d branch
-            dpower = X1 * opacity
             ds3d = jnp.where(take3d, -0.5 * dpower, 0.0)
             dd2 = jnp.where(take3d, 0.0, -dpower)
 
@@ -356,67 +305,38 @@ def _backward_kernel(
             dq2 = -(dus * us + dvs * vs) / pz
             # clamp transpose: no gradient where |pz_raw| <= 1e-12
             dq2 = jnp.where(jnp.abs(aux["pz_raw"]) > 1e-12, dq2, 0.0)
-            # dxn = px_ndc - cx = qxn - oxn: first-order moments of each dq_k
-            # and of dd2 give dA/dB/dC and the center gradients (A_k/B_k are
-            # per-lane param rows, so sum dq_k A_k reduces via S0(dq_k))
-            mq = [_mm(m_mom, dqk) for dqk in (dq0, dq1, dq2)]
-            md2 = _mm(m_mom, dd2)
-            dA = [mq[k][1:2, :] - ox * mq[k][0:1, :] for k in range(3)]
-            dB = [mq[k][2:3, :] - oy * mq[k][0:1, :] for k in range(3)]
-            dC = [mq[k][0:1, :] for k in range(3)]
+            dq = (dq0, dq1, dq2)
+            # q_k = dxn*A_k + dyn*B_k + C_k
+            dA = [jnp.sum(dq[k] * dxn, axis=0, keepdims=True) for k in range(3)]
+            dB = [jnp.sum(dq[k] * dyn, axis=0, keepdims=True) for k in range(3)]
+            dC = [jnp.sum(dq[k], axis=0, keepdims=True) for k in range(3)]
             w2 = float(width) * float(width)
-            A_rows = [chunk[3 + k : 4 + k, :] for k in range(3)]
-            B_rows = [chunk[6 + k : 7 + k, :] for k in range(3)]
-            dcx = -(
-                2.0 * w2 * (md2[1:2, :] - ox * md2[0:1, :])
-                + sum(A_rows[k] * mq[k][0:1, :] for k in range(3))
-            )
-            dcy = -(
-                2.0 * w2 * (md2[2:3, :] - oy * md2[0:1, :])
-                + sum(B_rows[k] * mq[k][0:1, :] for k in range(3))
-            )
+            ddxn = dd2 * 2.0 * w2 * dxn + sum(dq[k] * A[k] for k in range(3))
+            ddyn = dd2 * 2.0 * w2 * dyn + sum(dq[k] * B[k] for k in range(3))
+            # dxn = px_ndc - cx ; dyn = py_ndc - cy
+            dcx = jnp.sum(-ddxn, axis=0, keepdims=True)
+            dcy = jnp.sum(-ddyn, axis=0, keepdims=True)
             head = [dcx, dcy, zeros] + dA + dB + dC  # mr: mask-only, grad 0
         else:
-            # u, v are affine in the pixel coords with per-lane coefficients:
-            # u = (dx e1x + dy e1y)/b1, dx = px - cx = qx - ox.  du = -9 dpower u
-            # etc., so every gradient is a linear/bilinear functional of the
-            # centered moments.
+            u, v = aux["u"], aux["v"]
             b1, b2 = aux["b1"], aux["b2"]
-            e1x = chunk[2:3, :]
-            e1y = chunk[3:4, :]
-            mx_, my_ = mom[1:2, :], mom[2:3, :]
-            mxx, mxy, myy = mom[3:4, :], mom[4:5, :], mom[5:6, :]
-
-            def lin(l):  # S(l . (qx, qy, 1)) over X1
-                return l[0] * mx_ + l[1] * my_ + l[2] * m0
-
-            def bil(l, m):  # S((l . monos)(m . monos)) over X1
-                return (
-                    l[0] * m[0] * mxx
-                    + (l[0] * m[1] + l[1] * m[0]) * mxy
-                    + l[1] * m[1] * myy
-                    + (l[0] * m[2] + l[2] * m[0]) * mx_
-                    + (l[1] * m[2] + l[2] * m[1]) * my_
-                    + l[2] * m[2] * m0
-                )
-
-            lu = (e1x / b1, e1y / b1, -(e1x * ox + e1y * oy) / b1)
-            lv = (e1y / b2, -e1x / b2, -(e1y * ox - e1x * oy) / b2)
-            ldx = (1.0, 0.0, -ox)
-            ldy = (0.0, 1.0, -oy)
-            op9 = 9.0 * opacity
-            d2 = -op9 * (bil(lu, ldx) / b1 - bil(lv, ldy) / b2)  # e1x
-            d3 = -op9 * (bil(lu, ldy) / b1 + bil(lv, ldx) / b2)  # e1y
-            d4 = op9 * bil(lu, lu) / b1  # b1
-            d5 = op9 * bil(lv, lv) / b2  # b2
+            dx, dy = aux["dx"], aux["dy"]
+            du = dpower * (-9.0 * u)
+            dv = dpower * (-9.0 * v)
+            d2 = jnp.sum(du * dx / b1 - dv * dy / b2, axis=0, keepdims=True)  # e1x
+            d3 = jnp.sum(du * dy / b1 + dv * dx / b2, axis=0, keepdims=True)  # e1y
+            d4 = jnp.sum(du * (-u / b1), axis=0, keepdims=True)  # b1
+            d5 = jnp.sum(dv * (-v / b2), axis=0, keepdims=True)  # b2
             # centers: du/dcx = -e1x/b1, dv/dcx = -e1y/b2 ; du/dcy = -e1y/b1,
             # dv/dcy = +e1x/b2  (dx = px - cx, dy = py - cy)
-            dcx = op9 * ((e1x / b1) * lin(lu) + (e1y / b2) * lin(lv))
-            dcy = op9 * ((e1y / b1) * lin(lu) - (e1x / b2) * lin(lv))
+            e1x = chunk[2:3, :]
+            e1y = chunk[3:4, :]
+            dcx = jnp.sum(-du * e1x / b1 - dv * e1y / b2, axis=0, keepdims=True)
+            dcy = jnp.sum(-du * e1y / b1 + dv * e1x / b2, axis=0, keepdims=True)
             head = [dcx, dcy, d2, d3, d4, d5]
 
         pw = dchunk_vmem.shape[1]
-        rows = head + [dc3[0:1, :], dc3[1:2, :], dc3[2:3, :], dop]
+        rows = head + [dc[0], dc[1], dc[2], dop]
         rows += [zeros] * (pw - len(rows))
         dgrad = jnp.concatenate(rows, axis=0)  # [pw, CHUNK]
         # in_rng already zeroed out-of-range gradient lanes; additionally the

@@ -237,33 +237,24 @@ def _composite_kernel(
         # exclusive shift-right: circular roll then overwrite lane 0 with ones
         excl = jnp.where(lane == 0, 1.0, pltpu.roll(cum, 1, axis=1))
 
+        w = alpha * excl * trans  # [PIX, CHUNK] (trans [PIX, 1])
+
         ro = rgb_row(mode)
         if bbox:
-            # bbox overlay makes rgb per-ELEMENT (edge select), so the color
-            # reduction cannot ride the MXU — keep the lane-reduce form
-            w = alpha * excl * trans  # [PIX, CHUNK] (trans [PIX, 1])
             rgb_ch = [
                 jnp.where(edge, _BBOX_GREEN[i], chunk[ro + i : ro + i + 1, :])
                 for i in range(3)
             ]
-            r = jnp.sum(w * rgb_ch[0], axis=1, keepdims=True)
-            g = jnp.sum(w * rgb_ch[1], axis=1, keepdims=True)
-            b = jnp.sum(w * rgb_ch[2], axis=1, keepdims=True)
-            accum = accum + jnp.concatenate([r, g, b], axis=1)  # [PIX, 3]
         else:
-            # MXU color reduction: sum_lane (alpha excl)[p, l] rgb[ch, l] as a
-            # lane-contracting dot (precision=HIGHEST keeps f32 semantics;
-            # Mosaic's DEFAULT would cast to bf16), replacing three
-            # mul+lane-reduce passes; trans factors out per pixel
-            ae = alpha * excl  # [PIX, CHUNK]
-            contrib = jax.lax.dot_general(
-                ae,
-                chunk[ro : ro + 3, :],  # [3, CHUNK]
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )  # [PIX, 3]
-            accum = accum + trans * contrib
+            # (An MXU lane-contracting dot for this reduction was MEASURED
+            # SLOWER on v5e: the 3-wide output pads to a full 128-lane MXU
+            # tile and precision=HIGHEST multiplies it by 6 — ~200 MFLOP-eq
+            # per chunk vs ~3 cheap VPU passes.  Keep the mul+lane-reduce.)
+            rgb_ch = [chunk[ro + i : ro + i + 1, :] for i in range(3)]
+        r = jnp.sum(w * rgb_ch[0], axis=1, keepdims=True)
+        g = jnp.sum(w * rgb_ch[1], axis=1, keepdims=True)
+        b = jnp.sum(w * rgb_ch[2], axis=1, keepdims=True)
+        accum = accum + jnp.concatenate([r, g, b], axis=1)  # [PIX, 3]
         trans = trans * cum[:, -1:]
         return c + 1, accum, trans
 
