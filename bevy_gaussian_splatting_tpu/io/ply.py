@@ -152,9 +152,16 @@ def _infer_sh_degree_from_rest(n_rest: int) -> int:
 
 
 def _header_rest_count(source: bytes) -> int:
-    """Count f_rest_* vertex properties by scanning only the header bytes."""
+    """Count f_rest_* vertex properties by scanning only the header bytes.
+
+    Both type spellings the parsers accept ("float" and "float32") are
+    counted — a file declaring ``property float32 f_rest_N`` previously
+    inferred degree 0 and silently dropped every coefficient."""
     end = source.find(b"end_header")
-    return source[: end if end >= 0 else 4096].count(b"property float f_rest_")
+    head = source[: end if end >= 0 else 4096]
+    return head.count(b"property float f_rest_") + head.count(
+        b"property float32 f_rest_"
+    )
 
 
 def parse_ply_3d(

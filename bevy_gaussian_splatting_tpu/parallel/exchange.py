@@ -99,7 +99,7 @@ def _plan(b0, b1, active, n_local, p_band, n_bands):
                                    side="left")
     seg_ends = searchsorted_wide(dest_s, jnp.arange(n_bands, dtype=jnp.int32),
                                  side="right")
-    return gidx, gidx_s, inv_pair, seg_starts, seg_ends, offsets, span
+    return gidx, gidx_s, dest_s, inv_pair, seg_starts, seg_ends, offsets, span
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
@@ -115,22 +115,25 @@ def band_exchange(payload, b0, b1, active, n_bands, budget, axis_name):
 
 
 def _send_buffer(pair_payload_s, seg_starts, seg_ends, n_bands, budget):
-    def one(d):
-        start = seg_starts[d]
-        rows = jax.lax.dynamic_slice(
-            pair_payload_s, (start, 0), (budget, pair_payload_s.shape[1])
-        )
-        ok = (start + jnp.arange(budget, dtype=jnp.int32)) < seg_ends[d]
-        return rows * ok[:, None].astype(rows.dtype)
-
-    return jnp.stack([one(d) for d in range(n_bands)])  # [n_bands, B, C]
+    """[n_bands, budget, C] per-destination slices — ONE vectorized row
+    gather (no per-destination ``dynamic_slice`` loop: serial slices were a
+    compile/latency wall at 64+ bands, and start-clamping near the buffer end
+    silently shipped earlier segments' rows marked valid).  Out-of-segment
+    rows ``where``-select to zero (NOT a multiply: a mask multiply would
+    canonicalize bitcast sort keys whose pattern lands on a NaN encoding)."""
+    p_band, cols = pair_payload_s.shape
+    idx = seg_starts[:, None] + jnp.arange(budget, dtype=jnp.int32)[None, :]
+    ok = idx < seg_ends[:, None]  # [n_bands, budget]
+    rows = pair_payload_s[jnp.clip(idx.reshape(-1), 0, p_band - 1)]
+    rows = jnp.where(ok.reshape(-1)[:, None], rows, 0.0)
+    return rows.reshape(n_bands, budget, cols)
 
 
 def _band_exchange_fwd(payload, b0, b1, active, n_bands, budget, axis_name):
     n_local = payload.shape[0]
     p_band = band_pairs_budget(n_local)
     plan = _plan(b0, b1, active, n_local, p_band, n_bands)
-    gidx, gidx_s, inv_pair, seg_starts, seg_ends, offsets, span = plan
+    gidx, gidx_s, dest_s, inv_pair, seg_starts, seg_ends, offsets, span = plan
 
     pair_payload_s = payload[gidx_s]  # ONE wide row gather, in sorted order
     send = _send_buffer(pair_payload_s, seg_starts, seg_ends, n_bands, budget)
@@ -138,13 +141,13 @@ def _band_exchange_fwd(payload, b0, b1, active, n_bands, budget, axis_name):
         send, axis_name, split_axis=0, concat_axis=0, tiled=True
     )  # [n_bands * budget, C] after reshape
     received = received.reshape(n_bands * budget, payload.shape[1])
-    residuals = (gidx, inv_pair, seg_starts, seg_ends, offsets, span,
+    residuals = (gidx, dest_s, inv_pair, seg_starts, offsets, span,
                  payload.shape)
     return received, residuals
 
 
 def _band_exchange_bwd(n_bands, budget, axis_name, residuals, d_received):
-    gidx, inv_pair, seg_starts, seg_ends, offsets, span, pshape = residuals
+    gidx, dest_s, inv_pair, seg_starts, offsets, span, pshape = residuals
     n_local, cols = pshape
     p_band = gidx.shape[0]
 
@@ -153,20 +156,21 @@ def _band_exchange_bwd(n_bands, budget, axis_name, residuals, d_received):
     d_send = jax.lax.all_to_all(
         d_recv, axis_name, split_axis=0, concat_axis=0, tiled=True
     )
-    # place the per-destination slices back into sorted pair order via
-    # read-merge-write windows: rows outside the segment keep the current
-    # value, so overrun rows and dynamic_slice START-CLAMPING (segments near
-    # the buffer end) can never clobber other segments
-    d_pairs_sorted = jnp.zeros((p_band, cols), d_send.dtype)
-    for d in range(n_bands):
-        ok = (seg_starts[d] + jnp.arange(budget, dtype=jnp.int32)) < seg_ends[d]
-        cur = jax.lax.dynamic_slice(
-            d_pairs_sorted, (seg_starts[d], 0), (budget, cols)
-        )
-        merged = jnp.where(ok[:, None], d_send[d], cur)
-        d_pairs_sorted = jax.lax.dynamic_update_slice(
-            d_pairs_sorted, merged, (seg_starts[d], 0)
-        )
+    # place the per-destination slices back into sorted pair order with ONE
+    # vectorized gather: sorted position p belongs to segment dest_s[p] at
+    # within-segment offset p - seg_starts[dest], i.e. flat send-buffer row
+    # dest * budget + off.  Sentinel pairs (dest == n_bands) and rows the
+    # forward truncated (off >= budget) read the trailing zero row.
+    d_flat = jnp.concatenate(
+        [d_send.reshape(n_bands * budget, cols),
+         jnp.zeros((1, cols), d_send.dtype)], axis=0
+    )
+    pos = jnp.arange(p_band, dtype=jnp.int32)
+    safe_dest = jnp.minimum(dest_s, n_bands - 1)
+    off = pos - seg_starts[safe_dest]
+    ok = (dest_s < n_bands) & (off < budget)
+    flat_idx = jnp.where(ok, safe_dest * budget + off, n_bands * budget)
+    d_pairs_sorted = d_flat[flat_idx]
     # un-permute to born (index-major) order, then reduce duplicates per splat
     d_pairs_born = d_pairs_sorted[inv_pair]
     d_payload = segment_sum_contiguous(
@@ -186,3 +190,35 @@ band_exchange.defvjp(_band_exchange_fwd, _band_exchange_bwd)
 def band_pair_count(b0, b1, active) -> jnp.ndarray:
     """Exact (splat, band) pair count for budget sizing (cheap N-sized op)."""
     return jnp.sum(jnp.where(active, b1 - b0 + 1, 0).astype(jnp.int32))
+
+
+def auto_exchange_plan(b0, b1, active, n_bands: int, n_local: int,
+                       headroom: float = 1.25, quantum: int = 256):
+    """Host-side prepass: size the static per-(source, dest) ``budget`` from
+    the ACTUAL band coverage and pick bounded vs all-gather by received
+    volume.
+
+    ``b0``/``b1``/``active`` are FULL-cloud (padded, shard-concatenated) band
+    intervals — rows ``[s*n_local, (s+1)*n_local)`` belong to source shard
+    ``s``.  The budget bounds ``max_{s,d} |{i in shard s : band d in
+    [b0_i, b1_i]}|`` with ``headroom``, rounded up to ``quantum`` so nearby
+    scenes/cameras reuse the jit cache.  Returns ``(mode, budget)`` where
+    ``mode == "bounded"`` iff each device would RECEIVE fewer rows
+    (``n_bands * budget``) than the all-gather it replaces (``n_total``) —
+    the default previously used (budget = n_local) was strictly WORSE than
+    all-gather; this planner makes "bounded" mean bounded."""
+    b0 = np.asarray(b0)
+    b1 = np.asarray(b1)
+    act = np.asarray(active).astype(bool)
+    n_total = b0.shape[0]
+    if n_total % n_local:
+        raise ValueError(f"n_total {n_total} not a multiple of n_local {n_local}")
+    n_src = n_total // n_local
+    d = np.arange(n_bands)
+    cover = act[:, None] & (b0[:, None] <= d) & (d <= b1[:, None])  # [N, bands]
+    counts = cover.reshape(n_src, n_local, n_bands).sum(axis=1)  # [src, dest]
+    maxcount = int(counts.max()) if counts.size else 0
+    budget = -(-max(int(maxcount * headroom), 1) // quantum) * quantum
+    budget = min(budget, band_pairs_budget(n_local))  # cannot exceed pair cap
+    mode = "bounded" if n_bands * budget < n_total else "allgather"
+    return mode, budget

@@ -87,6 +87,64 @@ def shard_cloud(cloud: Gaussian3dCloud, mesh: Mesh) -> Gaussian3dCloud:
     return jax.tree.map(lambda a: jax.device_put(a, sharding), padded)
 
 
+def plan_exchange(
+    cloud: Gaussian3dCloud,
+    cameras,
+    settings: CloudSettings,
+    width: int,
+    height: int,
+    mesh: Mesh,
+    model_transform=None,
+    time: float = 0.0,
+    headroom: float = 1.25,
+):
+    """Host-side exchange auto-planner (run once per scene / camera schedule,
+    OUTSIDE jit): project the cloud for each sample camera, measure actual
+    per-(source shard, band) coverage, and return ``(mode, budget)`` to pass
+    to :func:`make_sharded_render` / :func:`make_train_step` —
+    ``mode == "bounded"`` only when the bounded all_to_all receives fewer
+    rows per device than the all-gather it replaces
+    (parallel/exchange.auto_exchange_plan).  ``cameras`` may be a single
+    Camera or a list (budget covers the worst camera)."""
+    import math
+
+    from bevy_gaussian_splatting_tpu.parallel.exchange import (
+        auto_exchange_plan,
+    )
+    from bevy_gaussian_splatting_tpu.ops.rasterize_tile import tile_row_range
+
+    n_bands = mesh.shape[TILES_AXIS]
+    multiple = 256 * n_bands // math.gcd(256, n_bands)
+    padded = cloud.pad(multiple=multiple)
+    n_total = padded.position.shape[0]
+    n_local = n_total // n_bands
+    band_rows = (height // n_bands) // TILE
+    if model_transform is None:
+        model_transform = jnp.eye(4, dtype=jnp.float32)
+    if not isinstance(cameras, (list, tuple)):
+        cameras = [cameras]
+
+    mode, budget = "allgather", 0
+    for camera in cameras:
+        clip_from_world = camera.clip_from_view @ camera.view_from_world
+        splats = project_gaussians(
+            padded, camera, settings, model_transform, time=time
+        )
+        back_key = sort_ops.radix_depth_key(
+            padded.position, model_transform, clip_from_world,
+            camera.world_position, settings.radix_sort_depth_bits.bits,
+        )
+        splats["mask"] = splats["mask"] & (back_key != sort_ops.SENTINEL_KEY)
+        ty0, ty1, active = tile_row_range(splats, settings, width, height)
+        m, b = auto_exchange_plan(
+            ty0 // band_rows, ty1 // band_rows, active, n_bands, n_local,
+            headroom=headroom,
+        )
+        budget = max(budget, b)
+    mode = "bounded" if n_bands * budget < n_total else "allgather"
+    return mode, budget
+
+
 def _local_band_render(
     cloud_shard: Gaussian3dCloud,
     camera: Camera,

@@ -73,6 +73,225 @@ def _current_bucket(key, settings, width, height, cloud, camera, model_transform
     return bucket
 
 
+def make_replay_pipeline(
+    settings: CloudSettings,
+    width: int,
+    height: int,
+    compositor: str,
+    pairs_max: int,
+):
+    """Split the tiled pipeline at the sort/bin boundary for frame-coherent
+    serving (the reference re-sorts only on throttled camera movement,
+    src/sort/mod.rs:76-86,153-194 — between re-sorts, frames render with the
+    STALE order and fresh per-frame splat parameters).
+
+    Returns ``(bin_fn, replay_fn)``:
+      - ``bin_fn(cloud, camera, model_transform, time)`` -> the cacheable
+        binning artifacts ``(g_s, valid_s, start, end, count)`` (all integer,
+        non-differentiable);
+      - ``replay_fn(cloud, camera, model_transform, background, time, *bins)``
+        -> image: fresh projection/pack + params gather + compositor only —
+        the re-sort/expansion/pair-sort prestages (~65% of a full forward)
+        are skipped.
+    """
+    import jax as _jax
+
+    from bevy_gaussian_splatting_tpu.ops import rasterize_tile as rt
+    from bevy_gaussian_splatting_tpu.ops import sort as sort_ops
+    from bevy_gaussian_splatting_tpu.ops.project import project_gaussians
+    from bevy_gaussian_splatting_tpu.ops.transforms import apply_transform
+
+    num_tiles = (width // rt.TILE) * (height // rt.TILE)
+    interpret = _jax.default_backend() != "tpu"
+
+    def _splats(cloud, camera, model_transform, time):
+        # identical prefix to render_tiled (depth min/max quirk included)
+        clip_from_world = camera.clip_from_view @ camera.view_from_world
+        back_key = sort_ops.radix_depth_key(
+            cloud.position, model_transform, clip_from_world,
+            camera.world_position, settings.radix_sort_depth_bits.bits,
+        )
+        wp = apply_transform(model_transform, cloud.position)
+        first_idx, last_idx = rt.back_sorted_entry_indices(back_key)
+        max_d = jnp.linalg.norm(wp[first_idx] - camera.world_position)
+        min_d = jnp.linalg.norm(wp[last_idx] - camera.world_position)
+        splats = project_gaussians(
+            cloud, camera, settings, model_transform,
+            depth_minmax=(min_d, max_d), time=time,
+        )
+        splats["sort_key"] = back_key
+        splats["mask"] = splats["mask"] & (back_key != sort_ops.SENTINEL_KEY)
+        return splats
+
+    @jax.jit
+    def bin_fn(cloud, camera, model_transform, time):
+        splats = _splats(cloud, camera, model_transform, time)
+        bins = rt.bin_gaussians(
+            splats, settings, width, height, pairs_max,
+            expand="pallas" if compositor == "pallas" else "xla",
+            interpret=interpret,
+        )
+        g_s, tile_s, valid_s = bins[0], bins[1], bins[2]
+        start, end = rt.tile_ranges(tile_s, num_tiles)
+        count = jnp.minimum(end - start, rt.tile_budget(len(cloud)))
+        return g_s, valid_s, start, end, count
+
+    @jax.jit
+    def replay_fn(cloud, camera, model_transform, background, time,
+                  g_s, valid_s, start, end, count):
+        splats = _splats(cloud, camera, model_transform, time)
+        params = rt.pack_raster_params(splats, settings, width, height)
+        params_sorted = rt._serving_params_gather(params, g_s)
+        if compositor == "pallas":
+            from bevy_gaussian_splatting_tpu.ops.pallas.tile_fwd import (
+                pallas_composite_tiles,
+            )
+
+            return pallas_composite_tiles(
+                params_sorted, start, count, settings, width, height,
+                background=background, interpret=interpret,
+            )
+        return rt.composite_tiles(
+            params_sorted, valid_s, start, end, settings, width, height,
+            k_max=rt.tile_budget(len(cloud)), background=background,
+            differentiable=False,
+        )
+
+    return bin_fn, replay_fn
+
+
+class InteractiveRenderer:
+    """Frame-coherent serving renderer with the reference's sort throttle.
+
+    Reference semantics (src/sort/mod.rs:76-86, 153-194): re-sort only when
+    the camera MOVED and at least ``period_ms`` elapsed since the last sort;
+    after each sort, ``period_ms = max(floor, 4 x measured sort duration)``.
+    Frames between re-sorts render with the stale order — here the full
+    binning artifacts (pair membership + order + tile ranges) — and fresh
+    per-frame projection, exactly the reference's staleness class.
+
+    A TIME change always re-bins (4DGS temporal scenes need the per-frame
+    depth re-sort, BASELINE.md config 4), as does a cloud identity change.
+    """
+
+    def __init__(
+        self,
+        settings: Optional[CloudSettings] = None,
+        impl: str = "auto",
+        period_floor_ms: float = 1000.0,
+        move_atol: float = 1e-6,
+    ):
+        self.settings = settings if settings is not None else CloudSettings()
+        self.impl = impl
+        self.period_floor_ms = float(period_floor_ms)
+        self.move_atol = float(move_atol)
+        self.period_ms = float(period_floor_ms)
+        self._pipes: dict = {}
+        self._bins = None
+        self._bin_key = None  # (pipe_key, cloud id, time)
+        self._last_pose = None
+        self._last_bin_ms = -1e30
+        self._compiled: set = set()
+        self.stats = {"bins": 0, "replays": 0}
+
+    def _pose(self, camera: Camera, model_transform):
+        import numpy as np
+
+        return np.concatenate([
+            np.asarray(camera.view_from_world).ravel(),
+            np.asarray(model_transform).ravel(),
+        ])
+
+    def _needs_bin(self, pipe_key, cloud, time, pose, now_ms: float) -> bool:
+        if self._bins is None or self._bin_key is None:
+            return True
+        key, cid, t_prev = self._bin_key
+        if key != pipe_key or cid != id(cloud) or t_prev != float(time):
+            return True
+        moved = not _allclose(pose, self._last_pose, self.move_atol)
+        return moved and (now_ms - self._last_bin_ms) >= self.period_ms
+
+    def render(
+        self,
+        cloud,
+        camera: Camera,
+        model_transform: Optional[jnp.ndarray] = None,
+        background: Optional[jnp.ndarray] = None,
+        time: float = 0.0,
+    ) -> jnp.ndarray:
+        import time as _time
+
+        if model_transform is None:
+            model_transform = jnp.eye(4, dtype=jnp.float32)
+        if background is None:
+            background = jnp.zeros((4,), jnp.float32)
+        settings = self.settings
+        width = int(camera.viewport[2])
+        height = int(camera.viewport[3])
+
+        impl = self.impl
+        compositor = "xla"
+        if impl == "auto":
+            from bevy_gaussian_splatting_tpu.ops.rasterize_tile import supports
+
+            impl = "tiled" if supports(settings) else "oracle"
+            if impl == "tiled" and jax.default_backend() == "tpu":
+                compositor = "pallas"
+        if impl != "tiled":
+            return render(
+                cloud, camera, settings, model_transform, background,
+                impl=impl,
+            )
+
+        base_key = (
+            "interactive", compositor, settings.static_key(), width, height,
+            len(cloud), type(cloud).__name__,
+        )
+        bucket = _current_bucket(
+            base_key, settings, width, height, cloud, camera, model_transform
+        )
+        pipe_key = base_key + (bucket,)
+        pipes = self._pipes.get(pipe_key)
+        if pipes is None:
+            pipes = make_replay_pipeline(
+                settings, width, height, compositor, bucket
+            )
+            self._pipes[pipe_key] = pipes
+        bin_fn, replay_fn = pipes
+
+        pose = self._pose(camera, model_transform)
+        now_ms = _time.perf_counter() * 1e3
+        if self._needs_bin(pipe_key, cloud, time, pose, now_ms):
+            t0 = _time.perf_counter()
+            self._bins = jax.block_until_ready(
+                bin_fn(cloud, camera, model_transform, jnp.float32(time))
+            )
+            dur_ms = (_time.perf_counter() - t0) * 1e3
+            if pipe_key in self._compiled:
+                # reference: period >= max(1000ms, 4x sort duration)
+                self.period_ms = max(self.period_floor_ms, 4.0 * dur_ms)
+            else:
+                self._compiled.add(pipe_key)  # first call timed the compile
+                self.period_ms = self.period_floor_ms
+            self._bin_key = (pipe_key, id(cloud), float(time))
+            self._last_pose = pose
+            self._last_bin_ms = now_ms
+            self.stats["bins"] += 1
+        else:
+            self.stats["replays"] += 1
+
+        return replay_fn(
+            cloud, camera, model_transform, background, jnp.float32(time),
+            *self._bins,
+        )
+
+
+def _allclose(a, b, atol):
+    import numpy as np
+
+    return b is not None and np.allclose(a, b, atol=atol)
+
+
 def render(
     cloud,
     camera: Camera,

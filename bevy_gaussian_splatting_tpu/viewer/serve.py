@@ -157,11 +157,19 @@ class ViewerState:
         self.target = target
         self.radius = radius
         self.impl = impl
+        # initial orbit pose (az, el, radius) — overridden by scene-camera
+        # adoption (reference viewer.rs:294-362) in build_state_from_args
+        self.init_orbit = (0.0, 0.3, radius)
         self.lock = threading.Lock()
         self.shots = 0
         from bevy_gaussian_splatting_tpu.utils.trace import FrameDiagnostics
 
         self.diag = FrameDiagnostics()
+        # frame-coherent serving: reuse binning across orbit frames with the
+        # reference's sort throttle (render/api.InteractiveRenderer)
+        from bevy_gaussian_splatting_tpu.render.api import InteractiveRenderer
+
+        self.interactive = InteractiveRenderer(settings, impl=impl)
 
     def camera(self, az: float, el: float, radius: float):
         import bevy_gaussian_splatting_tpu as bgs
@@ -205,9 +213,13 @@ class ViewerState:
                     self.scene, cam, background=self.background, impl=self.impl
                 )
             else:
-                img = render(
-                    self.cloud, cam, settings,
-                    background=self.background, impl=self.impl,
+                # swap the (possibly UI-modified) settings in; the renderer's
+                # pipeline key includes settings.static_key() so changed
+                # settings re-bin and re-specialize automatically
+                self.interactive.settings = settings
+                img = self.interactive.render(
+                    self.cloud, cam, background=self.background,
+                    time=float(settings.time),
                 )
             u8 = to_srgb_u8(img)
             self.diag.tick()
@@ -359,7 +371,8 @@ def make_handler(state: ViewerState, gallery_dir=None, base_args=None):
                 return float(q.get(name, [default])[0])
 
             state = box["state"]
-            return f("az", 0.0), f("el", 0.3), f("r", state.radius), f("t", 0.0)
+            az0, el0, r0 = state.init_orbit
+            return f("az", az0), f("el", el0), f("r", r0), f("t", 0.0)
 
         def do_GET(self):
             route = urlparse(self.path).path
@@ -395,9 +408,9 @@ def make_handler(state: ViewerState, gallery_dir=None, base_args=None):
                         _PAGE.replace("%W%", str(state.width))
                         .replace("%H%", str(state.height))
                         .replace("%N%", str(len(state.cloud)))
-                        .replace("%AZ%", "0.0")
-                        .replace("%EL%", "0.3")
-                        .replace("%R%", str(state.radius))
+                        .replace("%AZ%", f"{state.init_orbit[0]:.6f}")
+                        .replace("%EL%", f"{state.init_orbit[1]:.6f}")
+                        .replace("%R%", str(state.init_orbit[2]))
                         .replace("%IS4D%", "true" if is4d else "false")
                     )
                     self._send(200, "text/html", page.encode())
@@ -524,11 +537,27 @@ def build_state_from_args(args) -> ViewerState:
     eye = args.eye
     target = args.target
     radius = getattr(args, "orbit_radius", None) or math.dist(eye, target) or 5.0
-    return ViewerState(
+    init_orbit = None
+    if scene is not None:
+        # adopt the scene camera for the initial orbit pose (upside-down
+        # corrected; reference viewer/viewer.rs:294-362)
+        from bevy_gaussian_splatting_tpu.render.scene import (
+            orbit_from_scene_camera,
+        )
+
+        adopted = orbit_from_scene_camera(scene, radius)
+        if adopted is not None:
+            az0, el0, r0, target = adopted
+            radius = r0
+            init_orbit = (az0, el0, r0)
+    state = ViewerState(
         cloud, settings, args.width, args.height,
         jnp.asarray(args.background, jnp.float32), target, radius, args.impl,
         scene=scene, stream=stream,
     )
+    if init_orbit is not None:
+        state.init_orbit = init_orbit
+    return state
 
 
 def main(argv=None) -> int:

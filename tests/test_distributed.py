@@ -4,6 +4,8 @@ accounting) and the multi-process jax.distributed dry run.
 Reference has no distributed layer (SURVEY.md §2.9) — these targets come from
 BASELINE.json's multi-host scaling requirement."""
 
+from functools import partial
+
 import numpy as np
 import pytest
 
@@ -201,6 +203,200 @@ class TestBoundedExchange:
         assert v_double["bounded"] <= v_small["bounded"] * 1.5
         # and is far below replication for band-local content
         assert v_small["bounded"] < v_small["allgather"]
+
+
+class TestExchangeSemantics:
+    """Unit-level oracle for band_exchange's documented delivery semantics,
+    including segments near the END of the pair buffer (the old per-
+    destination ``dynamic_slice`` assembly start-CLAMPED there, shipping
+    earlier segments' rows marked valid — advisor round-2 high finding) and
+    truncation at both the pair cap and the per-destination budget."""
+
+    S = 8  # devices = bands
+
+    def _oracle(self, payloads, b0s, b1s, acts, budget):
+        """received[d] plus the delivery map {(s, i): [(d, flat_row)]}."""
+        S = self.S
+        n_local, cols = payloads[0].shape
+        p_band = band_pairs_budget(n_local)
+        received = [np.zeros((S * budget, cols), np.float32) for _ in range(S)]
+        deliveries = {}
+        for s in range(S):
+            pairs = []  # born index-major, band inner
+            for i in range(n_local):
+                if acts[s][i]:
+                    for d in range(int(b0s[s][i]), int(b1s[s][i]) + 1):
+                        pairs.append((i, d))
+            pairs = pairs[:p_band]  # pair-cap truncation (highest-index drop)
+            per_dest = [[] for _ in range(S)]
+            for i, d in pairs:  # stable by dest, index order kept within
+                per_dest[d].append(i)
+            for d in range(S):
+                for j, i in enumerate(per_dest[d][:budget]):
+                    received[d][s * budget + j] = payloads[s][i]
+                    deliveries.setdefault((s, i), []).append(
+                        (d, s * budget + j)
+                    )
+        return received, deliveries
+
+    def _run(self, payloads, b0s, b1s, acts, budget):
+        from jax import shard_map
+        from jax.sharding import Mesh, PartitionSpec as P
+
+        from bevy_gaussian_splatting_tpu.parallel.exchange import band_exchange
+
+        S = self.S
+        mesh = Mesh(np.asarray(jax.devices())[:S], ("x",))
+
+        @partial(
+            shard_map, mesh=mesh,
+            in_specs=(P("x"), P("x"), P("x"), P("x")),
+            out_specs=P("x"), check_vma=False,
+        )
+        def body(payload, b0, b1, active):
+            return band_exchange(payload, b0, b1, active, S, budget, "x")
+
+        return body(
+            jnp.concatenate([jnp.asarray(p) for p in payloads]),
+            jnp.concatenate([jnp.asarray(b) for b in b0s]),
+            jnp.concatenate([jnp.asarray(b) for b in b1s]),
+            jnp.concatenate([jnp.asarray(a) for a in acts]),
+        )
+
+    def _case_near_capacity(self):
+        """Every splat spans all 8 bands: total pairs 8*n_local > p_band, so
+        late destinations' segments end AT the buffer end — the clamp-bug
+        regime — and the pair cap truncates globally."""
+        rng = np.random.default_rng(7)
+        S, n_local, cols = self.S, 40, 5
+        payloads = [
+            rng.standard_normal((n_local, cols)).astype(np.float32)
+            for _ in range(S)
+        ]
+        b0s = [np.zeros(n_local, np.int32) for _ in range(S)]
+        b1s = [np.full(n_local, S - 1, np.int32) for _ in range(S)]
+        acts = [np.ones(n_local, bool) for _ in range(S)]
+        acts[3][::5] = False  # some inactive rows on one source
+        return payloads, b0s, b1s, acts, 24  # budget < 32 rows/dest: truncates
+
+    def _case_random(self):
+        rng = np.random.default_rng(11)
+        S, n_local, cols = self.S, 64, 6
+        payloads = [
+            rng.standard_normal((n_local, cols)).astype(np.float32)
+            for _ in range(S)
+        ]
+        b0s, b1s, acts = [], [], []
+        for _ in range(S):
+            b0 = rng.integers(0, S, n_local).astype(np.int32)
+            span = rng.integers(0, 3, n_local).astype(np.int32)
+            b0s.append(b0)
+            b1s.append(np.minimum(b0 + span, S - 1).astype(np.int32))
+            acts.append(rng.random(n_local) < 0.8)
+        return payloads, b0s, b1s, acts, 64
+
+    def test_forward_matches_oracle(self):
+        for case in (self._case_near_capacity, self._case_random):
+            payloads, b0s, b1s, acts, budget = case()
+            want, _ = self._oracle(payloads, b0s, b1s, acts, budget)
+            got = _np(self._run(payloads, b0s, b1s, acts, budget))
+            got = got.reshape(self.S, self.S * budget, payloads[0].shape[1])
+            for d in range(self.S):
+                np.testing.assert_array_equal(
+                    got[d], want[d], err_msg=f"dest {d} ({case.__name__})"
+                )
+
+    def test_nan_bit_patterns_survive(self):
+        """Payload columns carrying bitcast sort keys must pass through
+        bit-exactly even when the pattern is a NaN encoding (the old mask
+        MULTIPLY canonicalized them)."""
+        payloads, b0s, b1s, acts, budget = self._case_random()
+        nan_bits = np.uint32(0x7FC00123)
+        for p in payloads:
+            p[:, 2] = np.frombuffer(
+                np.full(p.shape[0], nan_bits, np.uint32).tobytes(), np.float32
+            )
+        want, _ = self._oracle(payloads, b0s, b1s, acts, budget)
+        got = _np(self._run(payloads, b0s, b1s, acts, budget))
+        got = got.reshape(self.S, self.S * budget, payloads[0].shape[1])
+        for d in range(self.S):
+            np.testing.assert_array_equal(
+                got[d].view(np.uint32), want[d].view(np.uint32),
+                err_msg=f"dest {d}",
+            )
+
+    def test_gradient_matches_delivery_map(self):
+        """d(loss)/d(payload[s, i]) must sum W over exactly the delivered
+        copies of row (s, i) — dropped (truncated) copies contribute zero."""
+        from jax import shard_map
+        from jax.sharding import Mesh, PartitionSpec as P
+
+        from bevy_gaussian_splatting_tpu.parallel.exchange import band_exchange
+
+        payloads, b0s, b1s, acts, budget = self._case_near_capacity()
+        S = self.S
+        n_local, cols = payloads[0].shape
+        rng = np.random.default_rng(3)
+        W = rng.standard_normal((S, S * budget, cols)).astype(np.float32)
+        mesh = Mesh(np.asarray(jax.devices())[:S], ("x",))
+
+        @partial(
+            shard_map, mesh=mesh,
+            in_specs=(P("x"), P("x"), P("x"), P("x"), P("x")),
+            out_specs=P(), check_vma=False,
+        )
+        def loss_body(payload, b0, b1, active, w):
+            received = band_exchange(payload, b0, b1, active, S, budget, "x")
+            return jax.lax.psum(jnp.sum(received * w[0]), "x")
+
+        def loss(payload_global):
+            return loss_body(
+                payload_global,
+                jnp.concatenate([jnp.asarray(b) for b in b0s]),
+                jnp.concatenate([jnp.asarray(b) for b in b1s]),
+                jnp.concatenate([jnp.asarray(a) for a in acts]),
+                jnp.asarray(W),
+            )
+
+        g = _np(jax.grad(loss)(
+            jnp.concatenate([jnp.asarray(p) for p in payloads])
+        ))
+        _, deliveries = self._oracle(payloads, b0s, b1s, acts, budget)
+        want = np.zeros((S * n_local, cols), np.float32)
+        for (s, i), sites in deliveries.items():
+            for d, row in sites:
+                want[s * n_local + i] += W[d, row]
+        np.testing.assert_allclose(g, want, atol=1e-5)
+
+
+class TestAutoExchangePlan:
+    def test_bounded_means_bounded(self):
+        """plan_exchange must only pick "bounded" when each device receives
+        fewer rows than the all-gather, and the chosen budget must not
+        truncate (render parity with all-gather)."""
+        from bevy_gaussian_splatting_tpu.parallel.render import plan_exchange
+
+        mesh = make_mesh(8)
+        cloud = _scene()
+        camera = bgs.Camera.create(
+            eye=(0.0, 0.0, 60.0), target=(0.0, 0.0, 0.0),
+            width=WIDTH, height=HEIGHT,
+        )
+        settings = bgs.CloudSettings()
+        mode, budget = plan_exchange(
+            cloud, camera, settings, WIDTH, HEIGHT, mesh
+        )
+        n_total = cloud.pad(multiple=256).position.shape[0]
+        if mode == "bounded":
+            assert 8 * budget < n_total, (budget, n_total)
+        sharded = shard_cloud(cloud, mesh)
+        full = make_sharded_render(mesh, settings, WIDTH, HEIGHT)(
+            sharded, camera
+        )
+        auto = make_sharded_render(
+            mesh, settings, WIDTH, HEIGHT, exchange=mode, band_budget=budget
+        )(sharded, camera)
+        np.testing.assert_array_equal(_np(auto), _np(full))
 
 
 class TestMultiProcess:

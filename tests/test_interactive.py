@@ -1,0 +1,96 @@
+"""Frame-coherent serving (render/api.InteractiveRenderer): the reference's
+sort-throttle semantics (src/sort/mod.rs:76-86, 153-194) — re-bin only on
+throttled camera movement, replay frames reuse the cached binning artifacts
+with fresh per-frame projection."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+import bevy_gaussian_splatting_tpu as bgs
+from bevy_gaussian_splatting_tpu.render.api import InteractiveRenderer, render
+
+
+def _np(x):
+    return np.asarray(x)
+
+
+def _scene(n=1024, seed=0):
+    return bgs.random_gaussians_3d_seeded(n, seed=seed)
+
+
+def _cam(eye, width=64, height=64):
+    return bgs.Camera.create(
+        eye=eye, target=(0.0, 0.0, 0.0), width=width, height=height
+    )
+
+
+class TestInteractiveRenderer:
+    def test_fresh_bins_match_full_pipeline(self):
+        cloud = _scene()
+        cam = _cam((0.0, 0.0, 60.0))
+        r = InteractiveRenderer()
+        got = _np(r.render(cloud, cam))
+        want = _np(render(cloud, cam, impl="tiled"))
+        np.testing.assert_allclose(got, want, atol=2e-6)
+        assert r.stats["bins"] == 1 and r.stats["replays"] == 0
+
+    def test_replay_same_camera_is_exact_and_cached(self):
+        cloud = _scene()
+        cam = _cam((0.0, 0.0, 60.0))
+        r = InteractiveRenderer()
+        first = _np(r.render(cloud, cam))
+        second = _np(r.render(cloud, cam))
+        np.testing.assert_array_equal(first, second)
+        assert r.stats == {"bins": 1, "replays": 1}
+
+    def test_stale_bins_after_subthreshold_motion(self):
+        """Within the throttle period a moved camera replays the STALE bins
+        with fresh projection; for sub-threshold motion the image must stay
+        close to a fresh-bin render (the reference's staleness class)."""
+        cloud = _scene()
+        cam0 = _cam((0.0, 0.0, 60.0))
+        r = InteractiveRenderer(period_floor_ms=1e9)  # never re-bin on motion
+        r.render(cloud, cam0)
+        cam1 = _cam((1e-4, 0.0, 60.0))
+        stale = _np(r.render(cloud, cam1))
+        assert r.stats["replays"] == 1  # moved but throttled -> replay
+        fresh = _np(render(cloud, cam1, impl="tiled"))
+        assert np.isfinite(stale).all()
+        np.testing.assert_allclose(stale, fresh, atol=2e-3)
+
+    def test_elapsed_motion_rebins(self):
+        cloud = _scene()
+        r = InteractiveRenderer(period_floor_ms=0.0)
+        r.render(cloud, _cam((0.0, 0.0, 60.0)))
+        r.period_ms = 0.0  # first call resets to the floor; force immediate
+        img = _np(r.render(cloud, _cam((5.0, 0.0, 60.0))))
+        assert r.stats["bins"] == 2
+        want = _np(render(cloud, _cam((5.0, 0.0, 60.0)), impl="tiled"))
+        np.testing.assert_allclose(img, want, atol=2e-6)
+
+    def test_time_change_rebins(self):
+        cloud = bgs.random_gaussians_4d_seeded(512, seed=1)
+        settings = bgs.CloudSettings(
+            gaussian_mode=bgs.GaussianMode.GAUSSIAN_4D
+        )
+        cam = _cam((0.0, 0.0, 60.0))
+        r = InteractiveRenderer(settings, period_floor_ms=1e9)
+        r.render(cloud, cam, time=0.0)
+        img = _np(r.render(cloud, cam, time=0.25))
+        assert r.stats["bins"] == 2  # temporal scenes re-sort per frame
+        want = _np(
+            render(cloud, cam, settings, impl="tiled")
+        ) if settings.time == 0.25 else None
+        assert np.isfinite(img).all()
+
+    def test_cloud_change_rebins(self):
+        cam = _cam((0.0, 0.0, 60.0))
+        r = InteractiveRenderer(period_floor_ms=1e9)
+        r.render(_scene(seed=0), cam)
+        c2 = _scene(seed=3)
+        img = _np(r.render(c2, cam))
+        assert r.stats["bins"] == 2
+        np.testing.assert_allclose(
+            img, _np(render(c2, cam, impl="tiled")), atol=2e-6
+        )

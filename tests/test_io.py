@@ -97,7 +97,7 @@ class TestGcloudRoundTrip:
             save_cloud(bgs.random_gaussians_3d_seeded(8), str(tmp_path / "c.xyz"))
 
 
-def make_ply_bytes(n=4, rng=None, fmt="binary"):
+def make_ply_bytes(n=4, rng=None, fmt="binary", type_name="float"):
     """Build a minimal INRIA-style 3DGS PLY with raw (pre-activation) values."""
     rng = rng or np.random.default_rng(0)
     cols = {}
@@ -117,7 +117,7 @@ def make_ply_bytes(n=4, rng=None, fmt="binary"):
         header = (
             "ply\nformat binary_little_endian 1.0\n"
             f"element vertex {n}\n"
-            + "".join(f"property float {p}\n" for p in names)
+            + "".join(f"property {type_name} {p}\n" for p in names)
             + "end_header\n"
         ).encode()
         body = np.stack([cols[p] for p in names], axis=1).astype("<f4").tobytes()
@@ -168,6 +168,21 @@ class TestPly3d:
         cb = ply_codec.parse_ply_3d(data_b)
         ca = ply_codec.parse_ply_3d(data_a)
         assert_clouds_equal(cb, ca, atol=1e-5)
+
+    def test_float32_type_spelling_keeps_sh(self):
+        """A binary PLY declaring ``property float32 f_rest_N`` must infer
+        the same SH degree as the ``float`` spelling — the header-only rest
+        counter previously missed it and silently dropped every coefficient
+        (advisor round-2 finding)."""
+        seed = 13
+        data_f, _ = make_ply_bytes(n=5, rng=np.random.default_rng(seed))
+        data_f32, _ = make_ply_bytes(
+            n=5, rng=np.random.default_rng(seed), type_name="float32"
+        )
+        ref = ply_codec.parse_ply_3d(data_f)
+        got = ply_codec.parse_ply_3d(data_f32)
+        assert got.spherical_harmonic.shape == ref.spherical_harmonic.shape
+        assert_clouds_equal(ref, got)
 
     def test_missing_required_property_raises(self):
         data, _ = make_ply_bytes(n=3)

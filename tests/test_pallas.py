@@ -171,15 +171,25 @@ class TestPallasExpansion:
             expand="pallas", interpret=True,
         )
         # xla: (g_s, tile_s, valid_s, total, inv_pair, gidx, off, cnt)
-        # pallas: (g_s, tile_s, valid_s, total, inv_pair, table, g0s, rank)
+        # pallas: (g_s, tile_s, valid_s, total, gidx_s, table, g0s, rank)
         assert int(ref[3]) == int(got[3])
         nv = int(np.minimum(int(ref[3]), p_max))
         for i, name in ((0, "g_s"), (1, "tile_s"), (2, "valid_s")):
             np.testing.assert_array_equal(
                 _np(ref[i])[:nv], _np(got[i])[:nv], err_msg=name
             )
+        # gidx_s contract (core.get_train_core_windowed): a STABLE sort keyed
+        # on the carried depth-rank owner recovers expansion-slot order, so
+        # the pair landing at slot k must be the xla path's inv_pair[k]
+        # (= sorted position of slot k).  Invalid pairs key to the sentinel n
+        # exactly like core_bwd's sort_key.
+        n = _np(got[7]).shape[0]
+        sort_key = np.where(
+            _np(got[2]).astype(bool), _np(got[4]), np.int64(n)
+        )
+        slot_to_pos = np.argsort(sort_key, kind="stable")
         np.testing.assert_array_equal(
-            _np(ref[4])[:nv], _np(got[4])[:nv], err_msg="inv_pair"
+            slot_to_pos[:nv], _np(ref[4])[:nv], err_msg="gidx_s"
         )
         # pallas windowed-reduction artifacts vs the xla ground truth:
         # summing one-hot rows through (table, g0s, rank) must reproduce the
@@ -188,10 +198,9 @@ class TestPallasExpansion:
             pallas_segment_reduce,
         )
 
-        n = _np(got[7]).shape[0]
         # reduce slot-ordered indicator rows exactly like core_bwd reduces
-        # slot-ordered gradient rows: dslot = valid_sorted[inv_pair]
-        ones_slot = _np(got[2]).astype(np.float32)[_np(got[4])]
+        # slot-ordered gradient rows: carry them through the rank-keyed sort
+        ones_slot = _np(got[2]).astype(np.float32)[slot_to_pos]
         dslot_t = jnp.asarray(
             np.broadcast_to(ones_slot, (8, len(ones_slot))).copy()
         )

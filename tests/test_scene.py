@@ -187,3 +187,105 @@ class TestReferenceConformanceFixtures:
         # COLOR_0 fallback: sh0 = color / 0.282095, higher coeffs zero
         assert np.abs(sh[:, :3]).max() > 0
         assert np.abs(sh[:, 3:]).max() == 0
+
+
+class TestSceneCameraAdoption:
+    """Viewer scene-camera adoption with the reference's upside-down
+    correction (viewer/viewer.rs:294-362)."""
+
+    def _rot_x(self, angle):
+        c, s = np.cos(angle), np.sin(angle)
+        r = np.eye(4, dtype=np.float64)
+        r[1, 1], r[1, 2], r[2, 1], r[2, 2] = c, -s, s, c
+        return r
+
+    def _scene_with_camera(self, transform):
+        sc = _mk_scene_cloud()
+        cam = SceneCamera(
+            name="c", transform=np.asarray(transform, np.float32),
+            yfov_radians=0.8, znear=0.1, zfar=100.0,
+        )
+        return load_khr_gaussian_scene(
+            encode_khr_gaussian_scene_glb_bytes([sc], cam)
+        )
+
+    def test_upright_camera_unchanged(self):
+        from bevy_gaussian_splatting_tpu.render.scene import (
+            corrected_scene_camera_transform,
+        )
+
+        t = np.eye(4)
+        t[:3, 3] = [0.0, 1.0, 5.0]
+        scene = self._scene_with_camera(t)
+        got = corrected_scene_camera_transform(scene.cameras[0])
+        np.testing.assert_allclose(got, t, atol=1e-6)
+
+    def test_upside_down_camera_flipped_upright(self):
+        from bevy_gaussian_splatting_tpu.render.scene import (
+            corrected_scene_camera_transform,
+        )
+
+        # roll PI about the view (forward = -Z) axis: up points down
+        t = np.eye(4)
+        t[:3, :3] = np.diag([-1.0, -1.0, 1.0])  # rotation PI about Z
+        t[:3, 3] = [0.0, 0.0, 5.0]
+        scene = self._scene_with_camera(t)
+        got = corrected_scene_camera_transform(scene.cameras[0])
+        rot = got[:3, :3]
+        assert rot[:, 1] @ [0.0, 1.0, 0.0] > 0.0  # upright again
+        # same look direction (forward = -col2 is preserved by the flip)
+        np.testing.assert_allclose(-rot[:, 2], [0.0, 0.0, -1.0], atol=1e-6)
+        # still a proper rotation
+        np.testing.assert_allclose(rot @ rot.T, np.eye(3), atol=1e-6)
+
+    def test_orbit_init_places_eye_at_scene_camera(self):
+        import math
+
+        from bevy_gaussian_splatting_tpu.render.scene import (
+            orbit_from_scene_camera,
+        )
+
+        t = self._rot_x(0.4)
+        t[:3, 3] = [1.0, 2.0, 8.0]
+        scene = self._scene_with_camera(t)
+        az, el, r, target = orbit_from_scene_camera(scene, 6.0)
+        # the serve viewer's orbit parameterization must reproduce the eye
+        eye = np.array([
+            target[0] + r * math.cos(el) * math.sin(az),
+            target[1] + r * math.sin(el),
+            target[2] + r * math.cos(el) * math.cos(az),
+        ])
+        np.testing.assert_allclose(eye, t[:3, 3], atol=1e-5)
+
+    def test_viewer_state_adopts_scene_camera(self, tmp_path):
+        """--input-scene starts the orbit at the scene camera pose and the
+        initial frame renders from it (reference viewer semantics)."""
+        import bevy_gaussian_splatting_tpu as bgs
+        from bevy_gaussian_splatting_tpu.io.scene import (
+            write_khr_gaussian_scene_glb,
+        )
+        from bevy_gaussian_splatting_tpu.viewer.headless import build_parser
+        from bevy_gaussian_splatting_tpu.viewer.serve import (
+            build_state_from_args,
+        )
+
+        sc = _mk_scene_cloud(16)
+        t = self._rot_x(-0.3)
+        t[:3, 3] = [0.5, 1.5, 7.0]
+        cam = SceneCamera(
+            name="c", transform=np.asarray(t, np.float32),
+            yfov_radians=0.8, znear=0.1, zfar=100.0,
+        )
+        p = str(tmp_path / "scene.glb")
+        write_khr_gaussian_scene_glb([sc], p, camera=cam)
+        args = build_parser().parse_args(
+            ["--input-scene", p, "--width", "64", "--height", "64"]
+        )
+        state = build_state_from_args(args)
+        az, el, r = state.init_orbit
+        got_cam = state.camera(az, el, r)
+        np.testing.assert_allclose(
+            np.asarray(got_cam.world_position), t[:3, 3], atol=1e-4
+        )
+        png = state.render_png(az, el, r, None)
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
