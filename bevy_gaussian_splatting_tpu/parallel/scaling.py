@@ -1,0 +1,125 @@
+"""Multi-chip scaling-efficiency proxy.
+
+Real multi-chip hardware is unavailable in this environment, so the ≥80%
+rays/s scaling-efficiency target (BASELINE.md) is tracked through two
+complementary proxies, both reported by ``__graft_entry__.dryrun_multichip``:
+
+1. **Bytes x bandwidth time model** at public TPU v5p parameters: the sharded
+   render's only cross-device traffic is the per-frame projected-splat
+   exchange (parallel/render.py), whose received bytes per device are exactly
+   accounted by ``exchange_bytes_per_device``.  Per-device compute divides by
+   the band count (binning, pair sort, params gather and the compositor all
+   scale with the band's pair share — band pair sets partition the global
+   pair set), so
+
+       T_n = T_1 / n  +  recv_bytes(n) / link_bw  +  t_launch
+       eff(n) = T_1 / (n * T_n)
+
+2. **Measured work-ratio on the virtual CPU mesh**: the same jitted step on a
+   1-device vs an n-device mesh.  All n virtual devices share one host CPU,
+   so the n-device wall time approximates the TOTAL work (compute is
+   serialized); ``work_ratio = T_mesh_n / T_mesh_1`` measures the sharding
+   overhead factor (duplicated prestages, exchange shuffling, padding) that
+   the time model's T_1/n term assumes away.  A work_ratio near 1.0 means
+   sharding adds little redundant work; the modeled efficiency then holds.
+
+Reference: the reference is single-GPU (SURVEY.md §2.9); these targets come
+from BASELINE.json's multi-host scaling requirement.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+# Public TPU v5p parameters (approximate, from the public scaling-book /
+# cloud docs): per-chip ICI egress ~ 6 links x ~90 GB/s per direction; DCN
+# per host ~ 200 Gbps (25 GB/s) shared by 4 chips.  These are MODEL
+# parameters, not measurements — recorded here so the proxy is reproducible.
+V5P = {
+    "ici_bytes_per_s": 4.5e11,   # usable per-chip ICI bandwidth (~450 GB/s)
+    "dcn_bytes_per_s": 6.25e9,   # per-chip share of host DCN (~25/4 GB/s)
+    "launch_s": 5e-6,            # per-collective launch/latency floor
+}
+
+
+def exchange_time_s(
+    n_total: int,
+    n_bands: int,
+    cols: int,
+    budget: Optional[int] = None,
+    link: str = "ici",
+    params: dict = V5P,
+) -> float:
+    """Modeled per-frame exchange time: received bytes / link bandwidth."""
+    from bevy_gaussian_splatting_tpu.parallel.exchange import (
+        exchange_bytes_per_device,
+    )
+
+    vols = exchange_bytes_per_device(n_total, n_bands, cols, budget)
+    recv = vols["bounded"] if budget is not None else vols["allgather"]
+    bw = params["ici_bytes_per_s" if link == "ici" else "dcn_bytes_per_s"]
+    return recv / bw + params["launch_s"]
+
+
+def modeled_efficiency(
+    t_single_s: float,
+    n_total: int,
+    n_bands: int,
+    cols: int = 14,
+    budget: Optional[int] = None,
+    link: str = "ici",
+    work_ratio: float = 1.0,
+    params: dict = V5P,
+) -> float:
+    """eff(n) = T_1 / (n * T_n) with T_n = work_ratio*T_1/n + T_exchange.
+
+    ``work_ratio`` folds in the CPU-mesh-measured sharding overhead (total
+    work inflation); 1.0 = perfectly partitioned work."""
+    t_comm = exchange_time_s(n_total, n_bands, cols, budget, link, params)
+    t_n = work_ratio * t_single_s / n_bands + t_comm
+    return t_single_s / (n_bands * t_n)
+
+
+def measured_work_ratio(
+    cloud,
+    camera,
+    settings,
+    width: int,
+    height: int,
+    n_devices: int,
+    iters: int = 3,
+    exchange: str = "allgather",
+    band_budget: Optional[int] = None,
+) -> dict:
+    """Wall-time the sharded forward on a 1-device vs n-device virtual CPU
+    mesh.  With all virtual devices on one host CPU, the n-device time is the
+    TOTAL work, so t_n/t_1 is the sharding work-inflation factor."""
+    import jax
+
+    from bevy_gaussian_splatting_tpu.parallel.render import (
+        make_mesh,
+        make_sharded_render,
+        shard_cloud,
+    )
+
+    out = {}
+    for n in (1, n_devices):
+        mesh = make_mesh(n)
+        sharded = shard_cloud(cloud, mesh)
+        fn = make_sharded_render(
+            mesh, settings, width, height,
+            exchange=exchange if n > 1 else "allgather",
+            band_budget=band_budget if n > 1 else None,
+        )
+        img = jax.block_until_ready(fn(sharded, camera))  # compile
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                img = fn(sharded, camera)
+            jax.block_until_ready(img)
+            best = min(best, (time.perf_counter() - t0) / iters)
+        out[n] = best
+    out["work_ratio"] = out[n_devices] / out[1]
+    return out

@@ -427,3 +427,39 @@ class TestHybridMeshLayout:
         ids = np.vectorize(lambda d: d.id)(np.asarray(mesh.devices))
         for row in ids:
             assert list(row) == sorted(row)
+
+
+class TestScalingProxy:
+    def test_model_prefers_bounded_volume(self):
+        from bevy_gaussian_splatting_tpu.parallel.scaling import (
+            exchange_time_s,
+            modeled_efficiency,
+        )
+
+        n, bands, cols = 1_000_000, 8, 14
+        t_all = exchange_time_s(n, bands, cols)  # all-gather volume
+        t_bounded = exchange_time_s(n, bands, cols, budget=20_000)
+        assert t_bounded < t_all
+        eff_all = modeled_efficiency(0.0426, n, bands, cols)
+        eff_bounded = modeled_efficiency(0.0426, n, bands, cols, budget=20_000)
+        assert 0.0 < eff_all < eff_bounded <= 1.0
+        # work inflation must reduce efficiency
+        assert modeled_efficiency(
+            0.0426, n, bands, cols, budget=20_000, work_ratio=1.5
+        ) < eff_bounded
+
+    def test_measured_work_ratio_runs(self):
+        import bevy_gaussian_splatting_tpu as bgs
+        from bevy_gaussian_splatting_tpu.parallel.scaling import (
+            measured_work_ratio,
+        )
+
+        cloud = _scene(256)
+        camera = bgs.Camera.create(
+            eye=(0.0, 0.0, 60.0), target=(0.0, 0.0, 0.0),
+            width=WIDTH, height=HEIGHT,
+        )
+        out = measured_work_ratio(
+            cloud, camera, bgs.CloudSettings(), WIDTH, HEIGHT, 8, iters=1
+        )
+        assert out["work_ratio"] > 0.0 and np.isfinite(out["work_ratio"])

@@ -696,6 +696,178 @@ def main():
         timeit("project+pack fwd+bwd (new)", proj_bwd2, cloud,
                jnp.float32(1e-7))
 
+    if only == "train4":
+        # In-jit ablation of the PRODUCTION windowed training backward
+        # (core.get_train_core_windowed) at the bench's fine-quantum budget:
+        # cumulative variants isolate bwd kernel / grad-reorder sort /
+        # windowed reduce / rank gather as in-graph deltas.
+        from bevy_gaussian_splatting_tpu.ops.rasterize_tile import (
+            bin_gaussians as _bin,
+            make_tiled_pipeline,
+            pack_raster_params as _pack,
+            pair_count as _pc,
+            pairs_budget as _pb,
+            tile_budget as _tb,
+            tile_ranges as _tr,
+        )
+        from bevy_gaussian_splatting_tpu.ops.pallas import tile_bwd, tile_fwd
+        from bevy_gaussian_splatting_tpu.ops.pallas.core import (
+            _BWD_CHUNK,
+            _gather_rows,
+        )
+        from bevy_gaussian_splatting_tpu.ops.pallas.reduce import (
+            pallas_segment_reduce,
+        )
+        from bevy_gaussian_splatting_tpu.ops.pallas.tile_fwd import (
+            composite_epilogue,
+            pallas_forward_raw,
+        )
+
+        total = int(jax.jit(
+            lambda c: _pc(c, camera, settings, width=width, height=height))(cloud))
+        budget = _pb(n, total, headroom=1.10, quantum=4096)
+        num_tiles = (width // rt.TILE) * (height // rt.TILE)
+        k_max = _tb(n)
+        log(f"fine budget {budget} (pairs {total})")
+
+        fwd_pipe = make_tiled_pipeline(
+            settings, width, height, differentiable=False,
+            compositor="pallas", pairs_max=budget,
+        )
+        target = fwd_pipe(cloud, camera, jnp.eye(4), bg, jnp.float32(0.0))
+        interp = jax.default_backend() != "tpu"
+
+        # binning cost with vs without the training inverse artifacts
+        @jax.jit
+        def bin_fwdonly(splats):
+            return _bin(splats, settings, width, height, budget,
+                        expand="pallas", interpret=interp)
+
+        @jax.jit
+        def bin_train(splats):
+            return _bin(splats, settings, width, height, budget,
+                        with_inverse=True, expand="pallas", interpret=interp)
+
+        jax.block_until_ready(bin_fwdonly(splats))
+        timeit("bin fwd-only (pallas expand)", bin_fwdonly, splats)
+        jax.block_until_ready(bin_train(splats))
+        timeit("bin with_inverse (+rank sort, +gidx op)", bin_train, splats)
+
+        def make_step(variant: str):
+            stages = {
+                "none": (),
+                "kernel": ("kernel",),
+                "kernel+sort": ("kernel", "sort"),
+                "kernel+sort+reduce": ("kernel", "sort", "reduce"),
+                "full": ("kernel", "sort", "reduce", "rankg"),
+            }[variant]
+            mode = tile_fwd.kernel_mode(settings)
+            zero_rows = {"aabb": (5,), "2d": (2,)}.get(mode, ())
+
+            @jax.custom_vjp
+            def core(params, g_s, valid_s, start, count, gidx_s, table, g0s,
+                     rank, y0):
+                params_sorted = _gather_rows(params, g_s, params.shape[1])
+                return pallas_forward_raw(
+                    params_sorted, start, count, settings, width, height,
+                    interpret=interp)
+
+            def core_fwd(params, g_s, valid_s, start, count, gidx_s, table,
+                         g0s, rank, y0):
+                params_sorted = _gather_rows(params, g_s, params.shape[1])
+                out_raw = pallas_forward_raw(
+                    params_sorted, start, count, settings, width, height,
+                    interpret=interp)
+                return out_raw, (params_sorted, start, count, out_raw,
+                                 valid_s, gidx_s, table, g0s, rank)
+
+            def core_bwd(res, g_out):
+                (params_sorted, start, count, out_raw, valid_s, gidx_s,
+                 table, g0s, rank) = res
+                c_par = params_sorted.shape[1]
+                g = g_out.reshape(num_tiles, 8, 256)
+                o = out_raw.reshape(num_tiles, 8, 256)
+                gbar = jnp.concatenate(
+                    [g[:, :4, :], o[:, :3, :], o[:, 3:4, :]], axis=1)
+                if "kernel" in stages:
+                    dsorted_t = tile_bwd.pallas_composite_backward(
+                        params_sorted, start, count, gbar, settings, width,
+                        height, interpret=interp, transposed=True,
+                        chunk_size=_BWD_CHUNK)
+                else:
+                    dsorted_t = params_sorted.T * (1e-9 * gbar[0, 0, 0])
+                if "sort" in stages:
+                    sort_key = jnp.where(valid_s, gidx_s, jnp.int32(n))
+                    live = [i for i in range(c_par) if i not in zero_rows]
+                    sorted_ops = jax.lax.sort(
+                        (sort_key,) + tuple(dsorted_t[i] for i in live),
+                        num_keys=1, is_stable=True)
+                    it = iter(sorted_ops[1:])
+                    rows = [jnp.zeros_like(sort_key, dtype=jnp.float32)
+                            if i in zero_rows else next(it)
+                            for i in range(c_par)]
+                else:
+                    rows = [dsorted_t[i] for i in range(c_par)]
+                if c_par % 8:
+                    rows += [rows[0] * 0.0] * (8 - c_par % 8)
+                dslot_t = jnp.stack(rows, axis=0)
+                if "reduce" in stages:
+                    drank = pallas_segment_reduce(dslot_t, table, g0s, n,
+                                                  interpret=interp)
+                else:
+                    drank = dslot_t[:, :n]
+                if "rankg" in stages:
+                    dparams = _gather_rows(drank[:c_par].T, rank, c_par)
+                else:
+                    dparams = drank[:c_par].T * 1.0
+                f0 = jax.dtypes.float0
+
+                def nil(a):
+                    return np.zeros(a.shape, dtype=f0)
+
+                return (dparams, nil(gidx_s), nil(gidx_s), nil(start),
+                        nil(count), nil(gidx_s), jnp.zeros_like(table),
+                        nil(g0s), nil(rank), nil(y0))
+
+            core.defvjp(core_fwd, core_bwd)
+
+            @jax.jit
+            def fwd_bwd(c, t):
+                def loss(c):
+                    clip_from_world = (
+                        camera.clip_from_view @ camera.view_from_world)
+                    back_key = sort_ops.radix_depth_key(
+                        c.position, jnp.eye(4), clip_from_world,
+                        camera.world_position,
+                        settings.radix_sort_depth_bits.bits)
+                    sp = project_gaussians(c, camera, settings, jnp.eye(4),
+                                           time=t)
+                    sp["sort_key"] = back_key
+                    sp["mask"] = sp["mask"] & (
+                        back_key != sort_ops.SENTINEL_KEY)
+                    bins = _bin(sp, settings, width, height, budget,
+                                with_inverse=True, expand="pallas",
+                                interpret=interp)
+                    g_s, tile_s, valid_s = bins[0], bins[1], bins[2]
+                    params = _pack(sp, settings, width, height)
+                    start, end = _tr(tile_s, num_tiles)
+                    count = jnp.minimum(end - start, k_max)
+                    out_raw = core(params, g_s, valid_s, start, count,
+                                   bins[4], bins[5], bins[6], bins[7],
+                                   jnp.zeros((1,), jnp.int32))
+                    img = composite_epilogue(out_raw, bg, width, height)
+                    return jnp.mean((img - target) ** 2)
+
+                return jax.value_and_grad(loss)(c)
+
+            return fwd_bwd
+
+        for variant in ("none", "kernel", "kernel+sort",
+                        "kernel+sort+reduce", "full"):
+            fn = make_step(variant)
+            timeit(f"fwd+bwd windowed [{variant}]", fn, cloud,
+                   jnp.float32(1e-7))
+
     if only in ("", "train2"):
         log("--- training backward decomposition (adaptive budget) ---")
         from bevy_gaussian_splatting_tpu.ops.rasterize_tile import (
