@@ -162,8 +162,12 @@ def surfel_affine_power(
     2D distance (both axes scale by width, gaussian_2d.wgsl quirk)."""
     q = dxn[..., None] * A + dyn[..., None] * B + C
     pz = jnp.where(jnp.abs(q[..., 2]) > 1e-12, q[..., 2], 1e-12)
-    us = q[..., 0] / pz
-    vs = q[..., 1] / pz
+    # one reciprocal instead of two divides — the TPU kernels, the XLA
+    # compositor and this oracle all use the SAME formulation so the
+    # production paths stay bit-consistent with the oracle
+    inv_pz = 1.0 / pz
+    us = q[..., 0] * inv_pz
+    vs = q[..., 1] * inv_pz
     s3d = us * us + vs * vs
     w2 = jnp.asarray(width, jnp.float32) ** 2
     d2 = (dxn * dxn + dyn * dyn) * w2

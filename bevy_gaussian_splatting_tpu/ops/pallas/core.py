@@ -115,6 +115,53 @@ def gather_rows(table, idx, c_live: int):
 _gather_rows = gather_rows  # back-compat alias
 
 
+# lax.sort applies its permutation to every carried operand at a measured
+# ~1.3 ms per operand at 1.6M rows (~0.8 ns/row/operand, NO table-size
+# cliff) — tools/profile_sorts.py
+_SORT_NS_PER_ROW_OP = 0.85
+
+
+def _gather_cost_ns(rows: int, table_rows: int, cols: int) -> float:
+    """Modeled cost of gathering ``rows`` rows from a [table_rows, cols] f32
+    table under the 64 MiB cliff + column-split model."""
+    total = 0.0
+    for a, b in _gather_col_splits(table_rows, cols):
+        w = b - a
+        rate = (
+            _SLOW_NS if table_rows * w * 4 > _GATHER_CLIFF_BYTES else _FAST_NS
+        )
+        total += rows * rate
+    return total
+
+
+def preferred_unpermute(n: int, c_live: int, env_override: bool = True) -> str:
+    """Choose how the training backward maps per-RANK gradient sums back to
+    cloud order (both exact; cost model picks the cheaper formulation):
+
+      - "rank": inverse-permutation N-row gather — needs ``rank`` (a 2-op
+        N-sort in binning) plus a [N, c_live] gather that pays the 64 MiB
+        cliff at multi-M N (the 4M superlinearity).
+      - "perm": ONE perm-keyed lax.sort carrying the c_live gradient rows —
+        no rank sort, no gather, no cliff; costs ~(1 + c_live) sort operands.
+
+    ``BGS_UNPERMUTE=rank|perm`` overrides for on-device A/B."""
+    if env_override:
+        forced = _os.environ.get("BGS_UNPERMUTE", "")
+        if forced in ("rank", "perm"):
+            return forced
+    rank_cost = 2 * n * _SORT_NS_PER_ROW_OP + _gather_cost_ns(n, n, c_live)
+    perm_cost = (1 + c_live) * n * _SORT_NS_PER_ROW_OP
+    return "perm" if perm_cost < rank_cost else "rank"
+
+
+def live_grad_count(settings: CloudSettings) -> int:
+    """Number of live (non-identically-zero) per-pair gradient rows — the
+    operand count of the unpermute carry sort (mask-only params drop out:
+    aabb radius, 2DGS surfel radius)."""
+    mode = tile_fwd.kernel_mode(settings)
+    return {"obb": 10, "aabb": 9, "2d": 15}[mode]
+
+
 # Backward-kernel chunk size (tunable: BGS_BWD_CHUNK env var at import).
 # 512 matches the forward kernel's measured optimum; the knob exists for
 # on-device ablation since the backward's per-chunk work profile differs
@@ -176,7 +223,8 @@ _WINDOWED_CORE_CACHE: dict = {}
 
 def get_train_core_windowed(settings: CloudSettings, width: int, height: int,
                             interpret: bool, k_max: int,
-                            full_height: int | None = None):
+                            full_height: int | None = None,
+                            unpermute: str = "rank"):
     """custom_vjp training core for the pallas-expansion pipeline:
 
       fwd: params_sorted = params[g_s]; forward kernel -> out_raw
@@ -184,8 +232,13 @@ def get_train_core_windowed(settings: CloudSettings, width: int, height: int,
            ONE stable sort keyed on the carried depth-rank owner (gidx_s)
            that reorders every live gradient column to expansion-slot order
            -> windowed segmented-sum kernel (ops/pallas/reduce.py) ->
-           per-RANK grads -> one N-row gather by the inverse permutation ->
-           per-gaussian grads in cloud order.
+           per-RANK grads -> per-gaussian grads in cloud order, via one of
+           two exact formulations chosen by :func:`preferred_unpermute`:
+             unpermute="rank": N-row gather by the inverse permutation
+               (arg 9 of the core = ``rank`` from bin_gaussians)
+             unpermute="perm": ONE perm-keyed lax.sort carrying the live
+               gradient rows (arg 9 = ``perm``; no rank sort, no gather,
+               no 64 MiB cliff — the multi-M win)
 
     Why a SORT instead of the earlier inverse-permutation gather: lax.sort
     applies its permutation to every carried operand at ~1 ms/operand per
@@ -196,7 +249,8 @@ def get_train_core_windowed(settings: CloudSettings, width: int, height: int,
     ascending pair order IS the rect enumeration order."""
     if full_height is None:
         full_height = height
-    key = (settings.static_key(), width, height, interpret, k_max, full_height)
+    key = (settings.static_key(), width, height, interpret, k_max,
+           full_height, unpermute)
     fn = _WINDOWED_CORE_CACHE.get(key)
     if fn is not None:
         return fn
@@ -267,8 +321,23 @@ def get_train_core_windowed(settings: CloudSettings, width: int, height: int,
         dslot_t = jnp.stack(rows, axis=0)
         drank = pallas_segment_reduce(dslot_t, table, g0s, n,
                                       interpret=interpret)
-        # rank gather through the same cliff model (live columns only)
-        dparams = _gather_rows(drank[:c_par].T, rank, c_par)
+        if unpermute == "perm":
+            # arg 9 is the depth-sort permutation: ONE unique-key sort
+            # carries every live per-rank gradient row back to cloud order
+            # (rank[i] = position of key i in ascending perm order, so
+            # sorting by perm applies the inverse permutation exactly)
+            sorted_back = jax.lax.sort(
+                (rank,) + tuple(drank[i] for i in live), num_keys=1
+            )
+            it2 = iter(sorted_back[1:])
+            cloud_rows = [
+                jnp.zeros((n,), jnp.float32) if i in zero_rows else next(it2)
+                for i in range(c_par)
+            ]
+            dparams = jnp.stack(cloud_rows, axis=1)
+        else:
+            # rank gather through the same cliff model (live columns only)
+            dparams = _gather_rows(drank[:c_par].T, rank, c_par)
         f0 = jax.dtypes.float0
 
         def nil(a):

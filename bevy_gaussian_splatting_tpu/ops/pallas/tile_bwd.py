@@ -102,8 +102,11 @@ def _alpha_and_partials(chunk, px_vp, py_vp, mode: str, width: int, height: int)
         py_ = dxn * A[1] + dyn * B[1] + chunk[10:11, :]
         pz_raw = dxn * A[2] + dyn * B[2] + chunk[11:12, :]
         pz_ = jnp.where(jnp.abs(pz_raw) > 1e-12, pz_raw, 1e-12)
-        us = px_ / pz_
-        vs = py_ / pz_
+        # backward-only recompute: one reciprocal instead of two divides
+        # (1-ulp association differences are inside the gradient tolerance)
+        inv_pz = 1.0 / pz_
+        us = px_ * inv_pz
+        vs = py_ * inv_pz
         s3d = us * us + vs * vs
         d2 = (dxn * dxn + dyn * dyn) * (float(width) * float(width))
         power = -0.5 * jnp.minimum(s3d, 2.0 * d2)
@@ -113,7 +116,7 @@ def _alpha_and_partials(chunk, px_vp, py_vp, mode: str, width: int, height: int)
         alpha = jnp.minimum(raw, ALPHA_CAP)
         return alpha, {
             "g": g, "capped": capped, "dxn": dxn, "dyn": dyn, "A": A, "B": B,
-            "us": us, "vs": vs, "pz": pz_, "pz_raw": pz_raw,
+            "us": us, "vs": vs, "inv_pz": inv_pz, "pz_raw": pz_raw,
             "s3d": s3d, "d2": d2,
         }
     if mode == "aabb":
@@ -135,10 +138,12 @@ def _alpha_and_partials(chunk, px_vp, py_vp, mode: str, width: int, height: int)
         dy = py_vp - cy
         e1x = chunk[2:3, :]
         e1y = chunk[3:4, :]
-        b1 = jnp.maximum(chunk[4:5, :], 1e-12)
-        b2 = jnp.maximum(chunk[5:6, :], 1e-12)
-        u = (dx * e1x + dy * e1y) / b1
-        v = (dx * e1y - dy * e1x) / b2
+        # [1, CHUNK] reciprocals: all u/v/gradient terms then multiply —
+        # no [PIX, CHUNK] divide anywhere in the obb backward
+        inv_b1 = 1.0 / jnp.maximum(chunk[4:5, :], 1e-12)
+        inv_b2 = 1.0 / jnp.maximum(chunk[5:6, :], 1e-12)
+        u = (dx * e1x + dy * e1y) * inv_b1
+        v = (dx * e1y - dy * e1x) * inv_b2
         inside = (jnp.abs(u) <= 1.0) & (jnp.abs(v) <= 1.0) & (chunk[4:5, :] > 0.0)
         g = jnp.where(inside, jnp.exp(-4.5 * (u * u + v * v)), 0.0)
         raw = g * opacity
@@ -146,7 +151,7 @@ def _alpha_and_partials(chunk, px_vp, py_vp, mode: str, width: int, height: int)
         alpha = jnp.minimum(raw, ALPHA_CAP)
         return alpha, {
             "g": g, "u": u, "v": v, "dx": dx, "dy": dy,
-            "b1": b1, "b2": b2, "capped": capped,
+            "inv_b1": inv_b1, "inv_b2": inv_b2, "capped": capped,
         }
 
 
@@ -291,18 +296,19 @@ def _backward_kernel(
             # slim surfel chain: power = -1/2 min(s3d, 2 d2);
             # s3d = us^2 + vs^2 with (us, vs) = (qx, qy)/qz and
             # q = dxn*A + dyn*B + C; d2 = W^2 (dxn^2 + dyn^2)
-            us, vs, pz = aux["us"], aux["vs"], aux["pz"]
+            us, vs = aux["us"], aux["vs"]
             A, B = aux["A"], aux["B"]
             dxn, dyn = aux["dxn"], aux["dyn"]
             take3d = aux["s3d"] <= 2.0 * aux["d2"]  # min() picks s3d branch
             ds3d = jnp.where(take3d, -0.5 * dpower, 0.0)
             dd2 = jnp.where(take3d, 0.0, -dpower)
 
+            inv_pz = aux["inv_pz"]  # shared with the alpha recompute
             dus = ds3d * 2.0 * us
             dvs = ds3d * 2.0 * vs
-            dq0 = dus / pz
-            dq1 = dvs / pz
-            dq2 = -(dus * us + dvs * vs) / pz
+            dq0 = dus * inv_pz
+            dq1 = dvs * inv_pz
+            dq2 = -(dus * us + dvs * vs) * inv_pz
             # clamp transpose: no gradient where |pz_raw| <= 1e-12
             dq2 = jnp.where(jnp.abs(aux["pz_raw"]) > 1e-12, dq2, 0.0)
             dq = (dq0, dq1, dq2)
@@ -319,20 +325,23 @@ def _backward_kernel(
             head = [dcx, dcy, zeros] + dA + dB + dC  # mr: mask-only, grad 0
         else:
             u, v = aux["u"], aux["v"]
-            b1, b2 = aux["b1"], aux["b2"]
             dx, dy = aux["dx"], aux["dy"]
-            du = dpower * (-9.0 * u)
-            dv = dpower * (-9.0 * v)
-            d2 = jnp.sum(du * dx / b1 - dv * dy / b2, axis=0, keepdims=True)  # e1x
-            d3 = jnp.sum(du * dy / b1 + dv * dx / b2, axis=0, keepdims=True)  # e1y
-            d4 = jnp.sum(du * (-u / b1), axis=0, keepdims=True)  # b1
-            d5 = jnp.sum(dv * (-v / b2), axis=0, keepdims=True)  # b2
+            # every downstream term divides by b1/b2 — fold the per-lane
+            # reciprocals into du/dv ONCE instead of paying a full-block
+            # [PIX, CHUNK] divide per reduction term (the original form had
+            # 12 block divides; this one has none)
+            dub = dpower * (-9.0 * u) * aux["inv_b1"]
+            dvb = dpower * (-9.0 * v) * aux["inv_b2"]
+            d2 = jnp.sum(dub * dx - dvb * dy, axis=0, keepdims=True)  # e1x
+            d3 = jnp.sum(dub * dy + dvb * dx, axis=0, keepdims=True)  # e1y
+            d4 = jnp.sum(dub * -u, axis=0, keepdims=True)  # b1
+            d5 = jnp.sum(dvb * -v, axis=0, keepdims=True)  # b2
             # centers: du/dcx = -e1x/b1, dv/dcx = -e1y/b2 ; du/dcy = -e1y/b1,
             # dv/dcy = +e1x/b2  (dx = px - cx, dy = py - cy)
             e1x = chunk[2:3, :]
             e1y = chunk[3:4, :]
-            dcx = jnp.sum(-du * e1x / b1 - dv * e1y / b2, axis=0, keepdims=True)
-            dcy = jnp.sum(-du * e1y / b1 + dv * e1x / b2, axis=0, keepdims=True)
+            dcx = jnp.sum(-dub * e1x - dvb * e1y, axis=0, keepdims=True)
+            dcy = jnp.sum(-dub * e1y + dvb * e1x, axis=0, keepdims=True)
             head = [dcx, dcy, d2, d3, d4, d5]
 
         pw = dchunk_vmem.shape[1]

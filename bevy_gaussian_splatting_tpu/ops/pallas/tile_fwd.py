@@ -106,8 +106,9 @@ def _chunk_alpha(chunk, px_vp, py_vp, mode: str, width: int, height: int,
         py_ = dxn * chunk[4:5, :] + dyn * chunk[7:8, :] + chunk[10:11, :]
         pz_ = dxn * chunk[5:6, :] + dyn * chunk[8:9, :] + chunk[11:12, :]
         pz_ = jnp.where(jnp.abs(pz_) > 1e-12, pz_, 1e-12)
-        us = px_ / pz_
-        vs = py_ / pz_
+        inv_pz = 1.0 / pz_  # one reciprocal instead of two divides
+        us = px_ * inv_pz
+        vs = py_ * inv_pz
         s3d = us * us + vs * vs
         # doubled-frame quirk: both axes scale by width
         d2 = (dxn * dxn + dyn * dyn) * (float(width) * float(width))

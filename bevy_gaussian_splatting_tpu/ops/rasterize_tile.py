@@ -349,6 +349,7 @@ def bin_gaussians(
     perm: Optional[jnp.ndarray] = None,
     expand: str = "xla",
     interpret: bool = False,
+    inverse_map: str = "rank",
 ):
     """Build sorted (tile, pair) assignment with static shapes.
 
@@ -544,13 +545,19 @@ def bin_gaussians(
             (tile.astype(jnp.int32), g_orig, gidx), num_keys=1, is_stable=True
         )
         valid_s = tile_s < sentinel
-        # depth-rank of each cloud index: inverse of the depth pre-sort perm
+        # windowed-reduction artifacts (ops/pallas/reduce.py): the expansion
+        # table + chunk owners drive the backward's segmented sum; slot 7
+        # maps the depth-ordered result back to cloud order, in the form the
+        # training core's unpermute formulation wants (core.preferred_
+        # unpermute): "rank" = inverse of the depth pre-sort perm (built by
+        # a 2-op N-sort, consumed by an N-row gather); "perm" = the perm
+        # itself (consumed by a perm-keyed carry sort — no rank sort here,
+        # no gather cliff there; the multi-M formulation)
+        if inverse_map == "perm":
+            return g_s, tile_s, valid_s, total, gidx_s, table, g0s, perm
         _, rank = jax.lax.sort(
             (perm, jnp.arange(n, dtype=jnp.int32)), num_keys=1
         )
-        # windowed-reduction artifacts (ops/pallas/reduce.py): the expansion
-        # table + chunk owners drive the backward's segmented sum; rank maps
-        # the depth-ordered result back to cloud order
         return g_s, tile_s, valid_s, total, gidx_s, table, g0s, rank
     tile_s, g_s, slot_s = jax.lax.sort(
         (tile.astype(jnp.int32), g_orig, slots), num_keys=1, is_stable=True
@@ -701,8 +708,9 @@ def _eval_chunk_gaussian(params, px_vp, py_vp, px_ndc, py_ndc, settings, width, 
         py_ = dxn * params[..., 4:5] + dyn * params[..., 7:8] + params[..., 10:11]
         pz_ = dxn * params[..., 5:6] + dyn * params[..., 8:9] + params[..., 11:12]
         pz_ = jnp.where(jnp.abs(pz_) > 1e-12, pz_, 1e-12)
-        us = px_ / pz_
-        vs = py_ / pz_
+        inv_pz = 1.0 / pz_  # same reciprocal form as the oracle/kernels
+        us = px_ * inv_pz
+        vs = py_ * inv_pz
         s3d = us * us + vs * vs
         # doubled-frame quirk: both axes scale by width (gaussian_2d.wgsl)
         d2 = (dxn * dxn + dyn * dyn) * jnp.float32(width * width)
@@ -978,10 +986,19 @@ def render_tiled(
 
     interpret = _jax.default_backend() != "tpu"
     train_pallas = compositor == "pallas" and differentiable
+    if train_pallas:
+        from bevy_gaussian_splatting_tpu.ops.pallas.core import (
+            live_grad_count,
+            preferred_unpermute,
+        )
+
+        unperm = preferred_unpermute(n, live_grad_count(settings))
+    else:
+        unperm = "rank"
     bins = bin_gaussians(
         splats, settings, width, height, p_max, with_inverse=train_pallas,
         expand="pallas" if compositor == "pallas" else "xla",
-        interpret=interpret,
+        interpret=interpret, inverse_map=unperm,
     )
     g_s, tile_s, valid_s = bins[0], bins[1], bins[2]
     params = pack_raster_params(splats, settings, width, height)
@@ -1001,13 +1018,13 @@ def render_tiled(
                 composite_epilogue,
             )
 
-            gidx_s, table, g0s, rank = bins[4:8]
+            gidx_s, table, g0s, inv_map = bins[4:8]
             core = get_train_core_windowed(
-                settings, width, height, interpret, k_max
+                settings, width, height, interpret, k_max, unpermute=unperm
             )
             out_raw = core(
                 params, g_s, valid_s, start, count, gidx_s, table, g0s,
-                rank, jnp.zeros((1,), jnp.int32),
+                inv_map, jnp.zeros((1,), jnp.int32),
             )
             return composite_epilogue(out_raw, background, width, height)
 

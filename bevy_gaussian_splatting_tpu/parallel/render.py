@@ -260,12 +260,21 @@ def _local_band_render(
     import jax as _jax
 
     interpret = _jax.default_backend() != "tpu"
+    if use_pallas:
+        from bevy_gaussian_splatting_tpu.ops.pallas.core import (
+            live_grad_count,
+            preferred_unpermute,
+        )
+
+        unperm = preferred_unpermute(n_total, live_grad_count(settings))
+    else:
+        unperm = "rank"
     bins = bin_gaussians(
         g_splats, settings, width, height, p_max,
         tile_row0=band * band_rows, band_tile_rows=band_rows,
         with_inverse=use_pallas,
         expand="pallas" if use_pallas else "xla",
-        interpret=interpret,
+        interpret=interpret, inverse_map=unperm,
     )
     g_s, tile_s, valid_s = bins[0], bins[1], bins[2]
 
@@ -293,14 +302,15 @@ def _local_band_render(
         # windowed scatter-free gradient reduction; in forward-only renders
         # the unused inverse artifacts are DCE'd.
         count = jnp.minimum(end - start, k_max)
-        gidx_s, table, g0s, rank = bins[4:8]
+        gidx_s, table, g0s, inv_map = bins[4:8]
         core = get_train_core_windowed(
-            settings, width, band_h, interpret, k_max, full_height=height
+            settings, width, band_h, interpret, k_max, full_height=height,
+            unpermute=unperm,
         )
         y0_rows = (band * band_h).astype(jnp.int32).reshape(1)
         out_raw = core(
             params_full, g_s, valid_s, start, count, gidx_s, table, g0s,
-            rank, y0_rows,
+            inv_map, y0_rows,
         )
         return composite_epilogue(out_raw, background, width, band_h)
 

@@ -286,3 +286,55 @@ class TestPallasExpansion:
         pv[::3, 0] += 1e4  # every third gaussian far off screen
         cloud = dc.replace(CLOUD, position_visibility=jnp.asarray(pv))
         self._compare(cloud, p_max=1 << 13)
+
+
+class TestUnpermuteFormulations:
+    def test_cost_model_switches_at_scale(self):
+        from bevy_gaussian_splatting_tpu.ops.pallas.core import (
+            preferred_unpermute,
+        )
+
+        # small N: the rank gather is sub-cliff and cheap -> "rank";
+        # multi-M N: the [N, c] gather pays the 64 MiB cliff -> "perm"
+        assert preferred_unpermute(100_000, 10, env_override=False) == "rank"
+        assert preferred_unpermute(4_000_000, 10, env_override=False) == "perm"
+
+    def test_perm_and_rank_paths_agree(self):
+        """Both unpermute formulations are exact: gradients must MATCH
+        (not just approximately — the same reduce output is mapped by the
+        inverse permutation either way)."""
+        import os
+
+        cloud = CLOUD
+        cam = CAM
+        settings = bgs.CloudSettings()
+        target = render_tiled(
+            cloud, cam, settings, width=128, height=128, differentiable=False
+        )
+
+        def grads():
+            def loss(c):
+                img = render_tiled(
+                    c, cam, settings, width=128, height=128,
+                    differentiable=True, compositor="pallas",
+                )
+                return jnp.mean((img - target) ** 2)
+
+            return jax.grad(loss)(cloud)
+
+        old = os.environ.get("BGS_UNPERMUTE")
+        try:
+            os.environ["BGS_UNPERMUTE"] = "rank"
+            g_rank = grads()
+            os.environ["BGS_UNPERMUTE"] = "perm"
+            g_perm = grads()
+        finally:
+            if old is None:
+                os.environ.pop("BGS_UNPERMUTE", None)
+            else:
+                os.environ["BGS_UNPERMUTE"] = old
+        for f in ("position_visibility", "spherical_harmonic", "rotation",
+                  "scale_opacity"):
+            np.testing.assert_array_equal(
+                _np(getattr(g_rank, f)), _np(getattr(g_perm, f)), err_msg=f
+            )

@@ -696,6 +696,80 @@ def main():
         timeit("project+pack fwd+bwd (new)", proj_bwd2, cloud,
                jnp.float32(1e-7))
 
+    if only == "kernels":
+        # forward/backward kernel cost per mode at IDENTICAL pair workloads:
+        # isolates the 2DGS fragment-math overhead from prestage differences
+        from bevy_gaussian_splatting_tpu.models.settings import GaussianMode
+        from bevy_gaussian_splatting_tpu.ops.pallas import tile_bwd
+        from bevy_gaussian_splatting_tpu.ops.pallas.tile_fwd import (
+            pallas_forward_raw,
+        )
+
+        p_work = int(os.environ.get("PROF_PAIRS", 1_605_632))
+        num_tiles = (width // rt.TILE) * (height // rt.TILE)
+        rng = np.random.default_rng(0)
+        per = p_work // num_tiles
+        start = jnp.asarray(np.arange(num_tiles) * per, jnp.int32)
+        count = jnp.full((num_tiles,), per, jnp.int32)
+
+        for label, s in (
+            ("obb", CloudSettings()),
+            ("aabb", CloudSettings(aabb=True)),
+            ("2d", CloudSettings(gaussian_mode=GaussianMode.GAUSSIAN_2D)),
+        ):
+            from bevy_gaussian_splatting_tpu.ops.pallas.tile_fwd import (
+                kernel_mode, param_width, rgb_row,
+            )
+
+            mode = kernel_mode(s)
+            pw = param_width(mode)
+            params = np.zeros((p_work, pw), np.float32)
+            # plausible centers / shape params so alpha math exercises the
+            # real code paths (inside tests partially pass, no saturation)
+            params[:, 0] = rng.uniform(-width, width, p_work)
+            params[:, 1] = rng.uniform(-height, height, p_work)
+            if mode == "2d":
+                params[:, 2] = rng.uniform(0.01, 0.1, p_work)  # mr
+                params[:, 3:12] = rng.standard_normal((p_work, 9)) * 10.0
+            elif mode == "aabb":
+                params[:, 2] = rng.uniform(0.001, 0.01, p_work)
+                params[:, 4] = rng.uniform(0.001, 0.01, p_work)
+                params[:, 5] = rng.uniform(5.0, 30.0, p_work)
+            else:
+                th = rng.uniform(0, np.pi, p_work)
+                params[:, 2] = np.cos(th)
+                params[:, 3] = np.sin(th)
+                params[:, 4] = rng.uniform(5.0, 30.0, p_work)
+                params[:, 5] = rng.uniform(5.0, 30.0, p_work)
+            ro = rgb_row(mode)
+            params[:, ro : ro + 3] = rng.uniform(0, 1, (p_work, 3))
+            params[:, ro + 3] = rng.uniform(0.005, 0.02, p_work)  # low alpha
+            pj = jnp.asarray(params)
+
+            @jax.jit
+            def fwd_k(pj, start, count, s=s):
+                return pallas_forward_raw(pj, start, count, s, width, height)
+
+            out_raw = jax.block_until_ready(fwd_k(pj, start, count))
+            timeit(f"fwd kernel [{label}] {p_work // 1000}k pairs", fwd_k,
+                   pj, start, count)
+
+            g_out = jnp.ones_like(out_raw)
+
+            @jax.jit
+            def bwd_k(pj, start, count, out_raw, g_out, s=s):
+                g = g_out.reshape(num_tiles, 8, 256)
+                o = out_raw.reshape(num_tiles, 8, 256)
+                gbar = jnp.concatenate(
+                    [g[:, :4, :], o[:, :3, :], o[:, 3:4, :]], axis=1)
+                return tile_bwd.pallas_composite_backward(
+                    pj, start, count, gbar, s, width, height,
+                    transposed=True)
+
+            jax.block_until_ready(bwd_k(pj, start, count, out_raw, g_out))
+            timeit(f"bwd kernel [{label}]", bwd_k, pj, start, count,
+                   out_raw, g_out)
+
     if only == "train4":
         # In-jit ablation of the PRODUCTION windowed training backward
         # (core.get_train_core_windowed) at the bench's fine-quantum budget:
@@ -827,7 +901,7 @@ def main():
 
                 return (dparams, nil(gidx_s), nil(gidx_s), nil(start),
                         nil(count), nil(gidx_s), jnp.zeros_like(table),
-                        nil(g0s), nil(rank), nil(y0))
+                        nil(g0s), nil(rank), np.zeros((1,), dtype=f0))
 
             core.defvjp(core_fwd, core_bwd)
 
