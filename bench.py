@@ -20,14 +20,16 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def prior_round_value() -> float | None:
-    """North-star value from the newest BENCH_r{N}.json the driver recorded,
-    so every round's JSON line self-reports vs the previous round."""
+def prior_round_parsed() -> dict:
+    """Parsed metrics from the newest BENCH_r{N}.json the driver recorded,
+    so every round's JSON line self-reports vs the previous round —
+    including PER-CONFIG ratios (2DGS, 4M) so a secondary config moving
+    backwards is mechanically visible on the driver line."""
     import glob
     import os
     import re
 
-    best_round, best_val = -1, None
+    best_round, best = -1, {}
     here = os.path.dirname(os.path.abspath(__file__))
     for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", path)
@@ -40,8 +42,13 @@ def prior_round_value() -> float | None:
         except Exception:
             continue
         if int(m.group(1)) > best_round and val > 0:
-            best_round, best_val = int(m.group(1)), val
-    return best_val
+            best_round, best = int(m.group(1)), parsed
+    return best
+
+
+def prior_round_value() -> float | None:
+    prior = prior_round_parsed()
+    return float(prior["value"]) if prior.get("value") else None
 
 
 def bench_forward(pipe, args_fn, iters: int, windows: int = 3) -> float:
@@ -291,7 +298,8 @@ def main() -> int:
         log(f"4DGS temporal fwd (100k, per-frame re-sort): {t4 * 1e3:.2f} ms/frame")
 
     metric_value = fb_rays if fb_rays > 0 else fwd_rays
-    prior = prior_round_value()
+    prior_parsed = prior_round_parsed()
+    prior = float(prior_parsed["value"]) if prior_parsed.get("value") else None
     line = {
         "metric": "rays/s per chip fwd+bwd at 1M gaussians (512x512 f32)",
         "value": metric_value,
@@ -301,6 +309,21 @@ def main() -> int:
         "train_ms": (width * height / fb_rays * 1e3) if fb_rays > 0 else None,
     }
     line.update(extra_configs)
+    # per-config self-comparison: ratio vs the prior round for every ms
+    # metric present in both rounds (<1.0 = faster).  A secondary config
+    # regressing (like round-2's unexplained 4M fwd 253 -> 304 ms) now
+    # shows up on the driver line instead of hiding behind the north star.
+    ratios = {}
+    for k in ("fwd_ms", "train_ms", "gs2d_fwd_ms", "gs2d_train_ms",
+              "gs3d_4m_fwd_ms", "gs3d_4m_train_ms"):
+        cur, prev = line.get(k), prior_parsed.get(k)
+        if cur and prev:
+            ratios[k] = round(float(cur) / float(prev), 4)
+    if ratios:
+        line["vs_prior_ms_ratio"] = ratios
+        slow = {k: v for k, v in ratios.items() if v > 1.05}
+        if slow:
+            log(f"REGRESSION vs prior round (>5% slower): {slow}")
     print(json.dumps(line))
     return 0
 

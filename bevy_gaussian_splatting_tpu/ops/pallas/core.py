@@ -154,6 +154,28 @@ def preferred_unpermute(n: int, c_live: int, env_override: bool = True) -> str:
     return "perm" if perm_cost < rank_cost else "rank"
 
 
+def preferred_params_delivery(n: int, p: int, c_par: int,
+                              env_override: bool = True) -> str:
+    """How per-pair raster params reach the compositor kernel (both exact):
+
+      - "gather": one post-pair-sort P-row gather from the [N, c] cloud-order
+        table — 7 ns/row sub-cliff, 24 ns/row above 64 MiB (the 4M bench
+        measured 148 ms for this single stage).
+      - "carry": params ride the depth sort (+c operands x N), are emitted
+        per pair by the expansion kernel's exact one-hot MXU gather, and
+        ride the pair sort (+c operands x P) — ~0.8 ns/row/operand at any
+        scale, no cliff.
+
+    ``BGS_PARAMS_DELIVERY=gather|carry`` overrides for on-device A/B."""
+    if env_override:
+        forced = _os.environ.get("BGS_PARAMS_DELIVERY", "")
+        if forced in ("gather", "carry"):
+            return forced
+    gather_cost = _gather_cost_ns(p, n, c_par)
+    carry_cost = c_par * (n + p) * _SORT_NS_PER_ROW_OP + p * 1.0
+    return "carry" if carry_cost < gather_cost else "gather"
+
+
 def live_grad_count(settings: CloudSettings) -> int:
     """Number of live (non-identically-zero) per-pair gradient rows — the
     operand count of the unpermute carry sort (mask-only params drop out:
@@ -224,7 +246,8 @@ _WINDOWED_CORE_CACHE: dict = {}
 def get_train_core_windowed(settings: CloudSettings, width: int, height: int,
                             interpret: bool, k_max: int,
                             full_height: int | None = None,
-                            unpermute: str = "rank"):
+                            unpermute: str = "rank",
+                            delivery: str = "gather"):
     """custom_vjp training core for the pallas-expansion pipeline:
 
       fwd: params_sorted = params[g_s]; forward kernel -> out_raw
@@ -250,7 +273,7 @@ def get_train_core_windowed(settings: CloudSettings, width: int, height: int,
     if full_height is None:
         full_height = height
     key = (settings.static_key(), width, height, interpret, k_max,
-           full_height, unpermute)
+           full_height, unpermute, delivery)
     fn = _WINDOWED_CORE_CACHE.get(key)
     if fn is not None:
         return fn
@@ -265,10 +288,16 @@ def get_train_core_windowed(settings: CloudSettings, width: int, height: int,
     mode = tile_fwd.kernel_mode(settings)
     zero_rows = {"aabb": (5,), "2d": (2,)}.get(mode, ())
 
+    carry = delivery == "carry"
+
     @jax.custom_vjp
     def core(params, g_s, valid_s, start, count, gidx_s, table, g0s, rank,
              y0):
-        params_sorted = _gather_rows(params, g_s, params.shape[1])
+        # delivery="carry": arg 1 IS params_sorted (bin-carried, bit-equal
+        # to params[g_s]; stop-gradiented — the true gradient is this VJP)
+        params_sorted = (
+            g_s if carry else _gather_rows(params, g_s, params.shape[1])
+        )
         return tile_fwd.pallas_forward_raw(
             params_sorted, start, count, settings, width, height,
             interpret=interpret, y0=y0, full_height=full_height,
@@ -276,7 +305,9 @@ def get_train_core_windowed(settings: CloudSettings, width: int, height: int,
 
     def core_fwd(params, g_s, valid_s, start, count, gidx_s, table, g0s,
                  rank, y0):
-        params_sorted = _gather_rows(params, g_s, params.shape[1])
+        params_sorted = (
+            g_s if carry else _gather_rows(params, g_s, params.shape[1])
+        )
         out_raw = tile_fwd.pallas_forward_raw(
             params_sorted, start, count, settings, width, height,
             interpret=interpret, y0=y0, full_height=full_height,
@@ -344,8 +375,10 @@ def get_train_core_windowed(settings: CloudSettings, width: int, height: int,
             return np.zeros(a.shape, dtype=f0)
 
         # table is f32 (its cotangent must be a real zero array, not float0);
-        # it is int-derived and unused upstream, so XLA DCEs it
-        return (dparams, nil(gidx_s), nil(gidx_s), nil(start),
+        # it is int-derived and unused upstream, so XLA DCEs it (same for
+        # the carried params_sorted in delivery="carry")
+        d_gs = jnp.zeros_like(params_sorted) if carry else nil(gidx_s)
+        return (dparams, d_gs, nil(gidx_s), nil(start),
                 nil(count), nil(gidx_s), jnp.zeros_like(table), nil(g0s),
                 nil(rank), nil(y0))
 

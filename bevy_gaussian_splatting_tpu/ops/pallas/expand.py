@@ -37,7 +37,16 @@ they never own a slot).  All matmul-gathered columns (1-6) hold integers
   5 id_b1      cloud index bits 8-15
   6 id_b2      cloud index bits 16-23
   7 pad
-"""
+
+**Params emission** (``params_t`` input): an optional SECOND table
+[PARAM_ROWS, N_pad] holding the rank-ordered f32 raster params.  The same
+one-hot gathers the owner's param row with ``precision=HIGHEST`` — exact for
+arbitrary f32 (exactly one 1.0 weight per row; the 6-pass bf16 expansion
+reproduces the f32 operand bit-exactly).  This is the multi-M "carry"
+delivery: per-pair params are BORN in the expansion and ride the pair sort
+as operands (~0.8 ns/row each) instead of a post-sort P-row gather that pays
+the 64 MiB table cliff (measured 148 ms at the 4M/6.4M-pair bench vs
+~52 ms of carry operands)."""
 
 from __future__ import annotations
 
@@ -54,39 +63,56 @@ CHUNK = 512
 # window carries up to 127 extra leading columns
 WIN = CHUNK + 128
 N_COLS = 8
+PARAM_ROWS = 16  # padded param-table rows (sublane multiple)
 CUM_PAD = float(1 << 30)  # table pad rows: never `<= slot`
 
 
 def _expand_kernel(
     g0_ref,  # scalar prefetch [num_chunks] i32: first owner col per chunk
     table_hbm,  # [8, N_pad] f32 in ANY/HBM (gaussians in lanes)
-    out_ref,  # [CHUNK, 8] VMEM block for this chunk
+    out_ref,  # [CHUNK, out_cols] VMEM block for this chunk
     win_vmem,  # [2, 8, WIN] double-buffered table windows
     sem,  # DMA sems [2]
     *,
     tx_count: int,
     num_chunks: int,
+    params_hbm=None,  # optional [PARAM_ROWS, N_pad] f32 ANY
+    pwin_vmem=None,  # [2, PARAM_ROWS, WIN]
+    psem=None,  # DMA sems [2]
 ):
     c = pl.program_id(0)
 
-    def dma(slot, chunk_idx):
+    def base_of(chunk_idx):
         # include the column BEFORE the first owner: offs = cum[owner-1]
         # must be in-window even when g0 is already 128-aligned
         g1 = jnp.maximum(g0_ref[chunk_idx] - 1, 0)
-        base = pl.multiple_of((g1 // 128) * 128, 128)
+        return pl.multiple_of((g1 // 128) * 128, 128)
+
+    def dma(slot, chunk_idx):
         return pltpu.make_async_copy(
-            table_hbm.at[:, pl.ds(base, WIN)],
+            table_hbm.at[:, pl.ds(base_of(chunk_idx), WIN)],
             win_vmem.at[slot],
             sem.at[slot],
+        )
+
+    def pdma(slot, chunk_idx):
+        return pltpu.make_async_copy(
+            params_hbm.at[:, pl.ds(base_of(chunk_idx), WIN)],
+            pwin_vmem.at[slot],
+            psem.at[slot],
         )
 
     @pl.when(c == 0)
     def _():
         dma(0, 0).start()
+        if params_hbm is not None:
+            pdma(0, 0).start()
 
     @pl.when(c + 1 < num_chunks)
     def _():
         dma((c + 1) % 2, c + 1).start()
+        if params_hbm is not None:
+            pdma((c + 1) % 2, c + 1).start()
 
     dma(c % 2, c).wait()
     win = win_vmem[c % 2]  # [8, WIN] rows = table fields, lanes = gaussians
@@ -139,9 +165,25 @@ def _expand_kernel(
     rem = k - div * rect_w
     tile = (ty0 + div) * jnp.float32(tx_count) + tx0 + rem
 
-    out_ref[...] = jnp.concatenate(
+    head = jnp.concatenate(
         [tile, g_cloud, rank, jnp.zeros((CHUNK, 5), jnp.float32)], axis=1
     )
+    if params_hbm is None:
+        out_ref[...] = head
+        return
+    pdma(c % 2, c).wait()
+    pwin = pwin_vmem[c % 2]  # [PARAM_ROWS, WIN]
+    # exact f32 one-hot gather: HIGHEST forces the 6-pass bf16 expansion,
+    # and with exactly one 1.0 weight per output row the product/sum chain
+    # reconstructs the f32 operand bit-exactly
+    sel_params = jax.lax.dot_general(
+        oh,
+        pwin,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [CHUNK, PARAM_ROWS]
+    out_ref[...] = jnp.concatenate([head, sel_params], axis=1)
 
 
 def pallas_expand_pairs(
@@ -150,40 +192,70 @@ def pallas_expand_pairs(
     p_max: int,
     tx_count: int,
     interpret: bool = False,
+    params_t: jnp.ndarray | None = None,  # [PARAM_ROWS, N_pad] f32
 ):
-    """Run the expansion kernel -> (tile [P], g_cloud [P], rank [P]) i32.
+    """Run the expansion kernel -> (tile [P], g_cloud [P], rank [P]) i32,
+    plus ``params_pairs [P, PARAM_ROWS]`` f32 when ``params_t`` is given
+    (the "carry" params delivery — see module docstring).
 
     ``p_max`` need not be chunk-aligned; the padded tail is sliced off.
     Validity/sentinel handling stays with the caller (slots >= total carry
     in-bounds garbage that the caller masks exactly like the XLA path)."""
     num_chunks = (p_max + CHUNK - 1) // CHUNK
     p_pad = num_chunks * CHUNK
+    with_params = params_t is not None
+    out_cols = N_COLS + (PARAM_ROWS if with_params else 0)
 
-    kernel = functools.partial(
-        _expand_kernel, tx_count=tx_count, num_chunks=num_chunks
-    )
+    scratch = [
+        pltpu.VMEM((2, N_COLS, WIN), jnp.float32),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    if with_params:
+        scratch += [
+            pltpu.VMEM((2, PARAM_ROWS, WIN), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+
+        def kernel(g0_ref, table_hbm, params_hbm, out_ref, win_vmem, sem,
+                   pwin_vmem, psem):
+            _expand_kernel(
+                g0_ref, table_hbm, out_ref, win_vmem, sem,
+                tx_count=tx_count, num_chunks=num_chunks,
+                params_hbm=params_hbm, pwin_vmem=pwin_vmem, psem=psem,
+            )
+
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ]
+        operands = (g0s.astype(jnp.int32), table, params_t)
+    else:
+        kernel = functools.partial(
+            _expand_kernel, tx_count=tx_count, num_chunks=num_chunks
+        )
+        in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
+        operands = (g0s.astype(jnp.int32), table)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(num_chunks,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (CHUNK, N_COLS), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+            (CHUNK, out_cols), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
         ),
-        scratch_shapes=[
-            pltpu.VMEM((2, N_COLS, WIN), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch,
     )
 
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((p_pad, N_COLS), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((p_pad, out_cols), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(g0s.astype(jnp.int32), table)
+    )(*operands)
 
     tile = out[:p_max, 0].astype(jnp.int32)
     g_cloud = out[:p_max, 1].astype(jnp.int32)
     rank = out[:p_max, 2].astype(jnp.int32)
+    if with_params:
+        return tile, g_cloud, rank, out[:p_max, N_COLS:]
     return tile, g_cloud, rank

@@ -291,10 +291,11 @@ def front_depth_perm(back_key: jnp.ndarray, active=None, carry=None):
     active suffix is then contiguous, which the Pallas expansion kernel
     requires (owner advances <= 1 per slot).
 
-    ``carry``: optional same-length array returned permuted as carry[perm]
-    (riding the sort as one extra operand costs ~1.3 ms at 1M vs ~7 ns/row
-    for a separate gather — the sort applies its permutation to every
-    operand, and pos[j] IS that permutation in reversed coordinates)."""
+    ``carry``: optional same-length array — or a tuple/list of arrays —
+    returned permuted as carry[perm] (riding the sort as extra operands
+    costs ~0.8 ns/row each at any scale vs 7-24 ns/row for a separate
+    gather — the sort applies its permutation to every operand, and pos[j]
+    IS that permutation in reversed coordinates)."""
     n = back_key.shape[0]
     front_key = jnp.uint32(0xFFFFFFFF) - back_key
     if active is not None:
@@ -309,12 +310,16 @@ def front_depth_perm(back_key: jnp.ndarray, active=None, carry=None):
             is_stable=True,
         )
         return jnp.int32(n - 1) - pos
-    _, pos, carried = jax.lax.sort(
-        (front_key[::-1], jnp.arange(n, dtype=jnp.int32), carry[::-1]),
+    multi = isinstance(carry, (tuple, list))
+    carries = tuple(carry) if multi else (carry,)
+    out = jax.lax.sort(
+        (front_key[::-1], jnp.arange(n, dtype=jnp.int32))
+        + tuple(c[::-1] for c in carries),
         num_keys=1,
         is_stable=True,
     )
-    return jnp.int32(n - 1) - pos, carried
+    perm = jnp.int32(n - 1) - out[1]
+    return (perm, tuple(out[2:])) if multi else (perm, out[2])
 
 
 def back_sorted_entry_indices(back_key: jnp.ndarray):
@@ -350,6 +355,8 @@ def bin_gaussians(
     expand: str = "xla",
     interpret: bool = False,
     inverse_map: str = "rank",
+    params: Optional[jnp.ndarray] = None,
+    deliver: str = "gather",
 ):
     """Build sorted (tile, pair) assignment with static shapes.
 
@@ -377,7 +384,19 @@ def bin_gaussians(
     expansion table, chunk owners g0s, and rank [N]) — the backward reorders
     per-pair gradients to slot order by re-sorting on gidx_s.  Either way the
     backward turns per-pair gradients into per-gaussian gradients with
-    sort/scan machinery only — no XLA scatter-add (measured 0.6 GB/s)."""
+    sort/scan machinery only — no XLA scatter-add (measured 0.6 GB/s).
+
+    ``deliver="carry"`` (pallas expansion only, pass ``params`` [N, c]):
+    rank-ordered params ride the depth sort as f32 operands, the expansion
+    kernel emits each pair's param row via an exact one-hot MXU gather, and
+    the pair sort carries them to tile order — ``params_sorted [P, c]`` is
+    APPENDED to the return tuple and the caller skips its post-sort params
+    gather entirely.  Chosen by core.preferred_params_delivery: sort
+    operands cost ~0.8 ns/row at any scale while the P-row gather pays
+    7-24 ns/row with a 64 MiB table-size cliff (148 ms at the 4M bench —
+    the multi-M forward's dominant stage).  Carried params are
+    stop-gradiented (training gradients flow through the core's custom
+    VJP, not the binning)."""
     tx_count = width // TILE
     ty_count = height // TILE
     n = splats["mask"].shape[0]
@@ -409,6 +428,7 @@ def bin_gaussians(
     # with ties broken by DESCENDING cloud index (stable painter reversed).
     # Inactive gaussians are compacted to the front (identical pair output;
     # see front_depth_perm) — the Pallas expansion requires it.
+    carry_params = False
     if perm is None and tx_count <= 127 and ty_count <= 127:
         # bit-pack the five binning columns into one i32 carried THROUGH the
         # depth sort (one extra sort operand ~1.3 ms at 1M) instead of a
@@ -426,15 +446,34 @@ def bin_gaussians(
             | (1 << 28),
             0,
         )
-        perm, packed = front_depth_perm(
-            splats["sort_key"], active=active, carry=packed_pre
+        carry_params = (
+            expand == "pallas" and deliver == "carry" and params is not None
         )
+        if carry_params:
+            pc = jax.lax.stop_gradient(params)
+            carries = (packed_pre,) + tuple(
+                pc[:, j] for j in range(pc.shape[1])
+            )
+            perm, carried = front_depth_perm(
+                splats["sort_key"], active=active, carry=carries
+            )
+            packed = carried[0]
+            params_rank_cols = carried[1:]
+        else:
+            perm, packed = front_depth_perm(
+                splats["sort_key"], active=active, carry=packed_pre
+            )
         tx0p = packed & 0x7F
         ty0p = (packed >> 7) & 0x7F
         rect_wp = (packed >> 14) & 0x7F
         rect_hp = (packed >> 21) & 0x7F
         counts = jnp.where((packed >> 28) > 0, rect_wp * rect_hp, 0)
     else:
+        if deliver == "carry":
+            raise ValueError(
+                "deliver='carry' needs the packed-carry depth sort "
+                "(internal perm, tile grid <= 127)"
+            )
         if perm is None:
             perm = front_depth_perm(splats["sort_key"], active=active)
         elif expand == "pallas":
@@ -496,9 +535,32 @@ def bin_gaussians(
         table = jnp.concatenate([table, pad], axis=1)
         chunk_starts = jnp.arange(num_chunks, dtype=jnp.int32) * EXP_CHUNK
         g0s = searchsorted_wide(cum, chunk_starts, side="right")
-        tile, g_orig, gidx = pallas_expand_pairs(
-            table, g0s, p_max, tx_count, interpret=interpret
-        )
+        params_pairs = None
+        if carry_params:
+            from bevy_gaussian_splatting_tpu.ops.pallas.expand import (
+                PARAM_ROWS,
+            )
+
+            c_par = len(params_rank_cols)
+            params_t = jnp.concatenate(
+                [
+                    jnp.stack(params_rank_cols, axis=0),
+                    jnp.zeros((PARAM_ROWS - c_par, n), jnp.float32),
+                ],
+                axis=0,
+            )  # [PARAM_ROWS, n] rank order, params in sublanes
+            params_t = jnp.concatenate(
+                [params_t, jnp.zeros((PARAM_ROWS, WIN), jnp.float32)], axis=1
+            )
+            tile, g_orig, gidx, params_pairs = pallas_expand_pairs(
+                table, g0s, p_max, tx_count, interpret=interpret,
+                params_t=params_t,
+            )
+            params_pairs = params_pairs[:, :c_par]
+        else:
+            tile, g_orig, gidx = pallas_expand_pairs(
+                table, g0s, p_max, tx_count, interpret=interpret
+            )
     else:
         # slot -> depth-ranked gaussian via scatter + cummax, then ONE packed
         # row gather for the per-slot fields.  (A scatter+fill-forward-scan
@@ -527,6 +589,16 @@ def bin_gaussians(
     # in-expansion-kernel tile histogram -- meant to replace the searchsorted
     # tile_ranges -- cost ~40 ms via its constant-index output block.)
     if not with_inverse:
+        if expand == "pallas" and params_pairs is not None:
+            c_par = params_pairs.shape[1]
+            out = jax.lax.sort(
+                (tile.astype(jnp.int32), g_orig)
+                + tuple(params_pairs[:, j] for j in range(c_par)),
+                num_keys=1, is_stable=True,
+            )
+            tile_s, g_s = out[0], out[1]
+            params_sorted = jnp.stack(out[2:], axis=1)
+            return g_s, tile_s, tile_s < sentinel, total, params_sorted
         tile_s, g_s = jax.lax.sort(
             (tile.astype(jnp.int32), g_orig), num_keys=1, is_stable=True
         )
@@ -541,9 +613,21 @@ def bin_gaussians(
         # (ops/pallas/core.get_train_core_windowed) — sorts also have no
         # 64 MiB gather-rate cliff, which is what made the gather path
         # superlinear at multi-M pair budgets.
-        tile_s, g_s, gidx_s = jax.lax.sort(
-            (tile.astype(jnp.int32), g_orig, gidx), num_keys=1, is_stable=True
-        )
+        if params_pairs is not None:
+            c_par = params_pairs.shape[1]
+            out = jax.lax.sort(
+                (tile.astype(jnp.int32), g_orig, gidx)
+                + tuple(params_pairs[:, j] for j in range(c_par)),
+                num_keys=1, is_stable=True,
+            )
+            tile_s, g_s, gidx_s = out[0], out[1], out[2]
+            params_sorted = jnp.stack(out[3:], axis=1)
+        else:
+            tile_s, g_s, gidx_s = jax.lax.sort(
+                (tile.astype(jnp.int32), g_orig, gidx), num_keys=1,
+                is_stable=True,
+            )
+            params_sorted = None
         valid_s = tile_s < sentinel
         # windowed-reduction artifacts (ops/pallas/reduce.py): the expansion
         # table + chunk owners drive the backward's segmented sum; slot 7
@@ -554,11 +638,17 @@ def bin_gaussians(
         # itself (consumed by a perm-keyed carry sort — no rank sort here,
         # no gather cliff there; the multi-M formulation)
         if inverse_map == "perm":
-            return g_s, tile_s, valid_s, total, gidx_s, table, g0s, perm
-        _, rank = jax.lax.sort(
-            (perm, jnp.arange(n, dtype=jnp.int32)), num_keys=1
-        )
-        return g_s, tile_s, valid_s, total, gidx_s, table, g0s, rank
+            base_out = (g_s, tile_s, valid_s, total, gidx_s, table, g0s,
+                        perm)
+        else:
+            _, rank = jax.lax.sort(
+                (perm, jnp.arange(n, dtype=jnp.int32)), num_keys=1
+            )
+            base_out = (g_s, tile_s, valid_s, total, gidx_s, table, g0s,
+                        rank)
+        if params_sorted is not None:
+            return base_out + (params_sorted,)
+        return base_out
     tile_s, g_s, slot_s = jax.lax.sort(
         (tile.astype(jnp.int32), g_orig, slots), num_keys=1, is_stable=True
     )
@@ -986,22 +1076,30 @@ def render_tiled(
 
     interpret = _jax.default_backend() != "tpu"
     train_pallas = compositor == "pallas" and differentiable
-    if train_pallas:
+    params = pack_raster_params(splats, settings, width, height)
+    deliver = "gather"
+    if compositor == "pallas":
         from bevy_gaussian_splatting_tpu.ops.pallas.core import (
             live_grad_count,
+            preferred_params_delivery,
             preferred_unpermute,
         )
 
-        unperm = preferred_unpermute(n, live_grad_count(settings))
+        unperm = (
+            preferred_unpermute(n, live_grad_count(settings))
+            if train_pallas else "rank"
+        )
+        if width // TILE <= 127 and height // TILE <= 127:
+            deliver = preferred_params_delivery(n, p_max, params.shape[1])
     else:
         unperm = "rank"
     bins = bin_gaussians(
         splats, settings, width, height, p_max, with_inverse=train_pallas,
         expand="pallas" if compositor == "pallas" else "xla",
         interpret=interpret, inverse_map=unperm,
+        params=params if deliver == "carry" else None, deliver=deliver,
     )
     g_s, tile_s, valid_s = bins[0], bins[1], bins[2]
-    params = pack_raster_params(splats, settings, width, height)
     start, end = tile_ranges(tile_s, (width // TILE) * (height // TILE))
 
     if compositor == "pallas":
@@ -1020,10 +1118,13 @@ def render_tiled(
 
             gidx_s, table, g0s, inv_map = bins[4:8]
             core = get_train_core_windowed(
-                settings, width, height, interpret, k_max, unpermute=unperm
+                settings, width, height, interpret, k_max, unpermute=unperm,
+                delivery=deliver,
             )
+            # delivery="carry": arg 1 is the bin-carried params_sorted
+            arg1 = bins[8] if deliver == "carry" else g_s
             out_raw = core(
-                params, g_s, valid_s, start, count, gidx_s, table, g0s,
+                params, arg1, valid_s, start, count, gidx_s, table, g0s,
                 inv_map, jnp.zeros((1,), jnp.int32),
             )
             return composite_epilogue(out_raw, background, width, height)
@@ -1036,7 +1137,10 @@ def render_tiled(
             pallas_composite_tiles,
         )
 
-        params_sorted = _serving_params_gather(params, g_s)
+        params_sorted = (
+            bins[4] if deliver == "carry"
+            else _serving_params_gather(params, g_s)
+        )
         return pallas_composite_tiles(
             params_sorted, start, count, settings, width, height,
             background=background, interpret=interpret,

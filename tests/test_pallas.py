@@ -338,3 +338,82 @@ class TestUnpermuteFormulations:
             np.testing.assert_array_equal(
                 _np(getattr(g_rank, f)), _np(getattr(g_perm, f)), err_msg=f
             )
+
+
+class TestParamsDelivery:
+    def test_cost_model_switches_at_scale(self):
+        from bevy_gaussian_splatting_tpu.ops.pallas.core import (
+            preferred_params_delivery,
+        )
+
+        # sub-cliff tables: the P-row gather is cheap -> "gather";
+        # multi-M tables pay 24 ns/row (148 ms measured at 4M) -> "carry"
+        assert preferred_params_delivery(
+            1_000_000, 1_605_632, 10, env_override=False
+        ) == "gather"
+        assert preferred_params_delivery(
+            4_000_000, 6_422_528, 10, env_override=False
+        ) == "carry"
+
+    def test_carry_matches_gather_forward_and_grads(self):
+        """The carried params are bit-equal to params[g_s] (exact one-hot
+        MXU gather + sort carries), so forward images AND gradients must be
+        identical between the two delivery modes."""
+        import os
+
+        cloud = CLOUD
+        settings = bgs.CloudSettings()
+
+        def run(mode):
+            old = os.environ.get("BGS_PARAMS_DELIVERY")
+            os.environ["BGS_PARAMS_DELIVERY"] = mode
+            try:
+                img = render_tiled(
+                    cloud, CAM, settings, width=128, height=128,
+                    differentiable=False, compositor="pallas",
+                )
+
+                def loss(c):
+                    out = render_tiled(
+                        c, CAM, settings, width=128, height=128,
+                        differentiable=True, compositor="pallas",
+                    )
+                    return jnp.mean((out - img * 0.9) ** 2)
+
+                g = jax.grad(loss)(cloud)
+                return img, g
+            finally:
+                if old is None:
+                    os.environ.pop("BGS_PARAMS_DELIVERY", None)
+                else:
+                    os.environ["BGS_PARAMS_DELIVERY"] = old
+
+        img_g, grad_g = run("gather")
+        img_c, grad_c = run("carry")
+        np.testing.assert_array_equal(_np(img_g), _np(img_c))
+        for f in ("position_visibility", "spherical_harmonic", "rotation",
+                  "scale_opacity"):
+            np.testing.assert_array_equal(
+                _np(getattr(grad_g, f)), _np(getattr(grad_c, f)), err_msg=f
+            )
+
+    def test_carry_2dgs_serving(self):
+        import os
+
+        settings = bgs.CloudSettings(
+            gaussian_mode=bgs.GaussianMode.GAUSSIAN_2D
+        )
+        old = os.environ.get("BGS_PARAMS_DELIVERY")
+        try:
+            os.environ["BGS_PARAMS_DELIVERY"] = "gather"
+            a = render_tiled(CLOUD, CAM, settings, width=128, height=128,
+                             differentiable=False, compositor="pallas")
+            os.environ["BGS_PARAMS_DELIVERY"] = "carry"
+            b = render_tiled(CLOUD, CAM, settings, width=128, height=128,
+                             differentiable=False, compositor="pallas")
+        finally:
+            if old is None:
+                os.environ.pop("BGS_PARAMS_DELIVERY", None)
+            else:
+                os.environ["BGS_PARAMS_DELIVERY"] = old
+        np.testing.assert_array_equal(_np(a), _np(b))
