@@ -169,9 +169,9 @@ def surfel_affine_power(
     us = q[..., 0] * inv_pz
     vs = q[..., 1] * inv_pz
     s3d = us * us + vs * vs
-    w2 = jnp.asarray(width, jnp.float32) ** 2
-    d2 = (dxn * dxn + dyn * dyn) * w2
-    return -0.5 * jnp.minimum(s3d, 2.0 * d2)
+    two_w2 = 2.0 * jnp.asarray(width, jnp.float32) ** 2
+    d2x2 = (dxn * dxn + dyn * dyn) * two_w2
+    return -0.5 * jnp.minimum(s3d, d2x2)
 
 
 def surfel_fragment_power(

@@ -144,13 +144,22 @@ def preferred_unpermute(n: int, c_live: int, env_override: bool = True) -> str:
       - "perm": ONE perm-keyed lax.sort carrying the c_live gradient rows —
         no rank sort, no gather, no cliff; costs ~(1 + c_live) sort operands.
 
-    ``BGS_UNPERMUTE=rank|perm`` overrides for on-device A/B."""
+    ``BGS_UNPERMUTE=rank|perm`` overrides for on-device A/B.
+
+    Measured on v5e at 1M/1.6M-pair (2026-08-21): rank 99.9 ms step vs perm
+    94.0 — the rank path's [cw, N] -> [N, cw] transpose (~3.5 ns/row,
+    unmodeled before) tips it; both paths pay ~1.5 ns/row materializing the
+    [N, c] output."""
     if env_override:
         forced = _os.environ.get("BGS_UNPERMUTE", "")
         if forced in ("rank", "perm"):
             return forced
-    rank_cost = 2 * n * _SORT_NS_PER_ROW_OP + _gather_cost_ns(n, n, c_live)
-    perm_cost = (1 + c_live) * n * _SORT_NS_PER_ROW_OP
+    rank_cost = (
+        2 * n * _SORT_NS_PER_ROW_OP  # rank N-sort in binning
+        + _gather_cost_ns(n, n, c_live)
+        + n * 3.5  # drank transpose to gather layout
+    )
+    perm_cost = (1 + c_live) * n * _SORT_NS_PER_ROW_OP + n * 1.5  # stack
     return "perm" if perm_cost < rank_cost else "rank"
 
 

@@ -92,10 +92,11 @@ def _alpha_and_partials(chunk, px_vp, py_vp, mode: str, width: int, height: int)
         # tile_fwd._chunk_alpha): q = dxn*A + dyn*B + C
         px_ndc = px_vp * (1.0 / width)
         py_ndc = py_vp * (1.0 / height)
-        mr = chunk[2:3, :]
+        mrx = chunk[2:3, :] * (1.0 / width)
+        mry = chunk[2:3, :] * (1.0 / height)
         dxn = px_ndc - cx
         dyn = py_ndc - cy
-        inside = (jnp.abs(dxn) * width <= mr) & (jnp.abs(dyn) * height <= mr)
+        inside = (jnp.abs(dxn) <= mrx) & (jnp.abs(dyn) <= mry)
         A = [chunk[3 + i : 4 + i, :] for i in range(3)]
         B = [chunk[6 + i : 7 + i, :] for i in range(3)]
         px_ = dxn * A[0] + dyn * B[0] + chunk[9:10, :]
@@ -108,8 +109,10 @@ def _alpha_and_partials(chunk, px_vp, py_vp, mode: str, width: int, height: int)
         us = px_ * inv_pz
         vs = py_ * inv_pz
         s3d = us * us + vs * vs
-        d2 = (dxn * dxn + dyn * dyn) * (float(width) * float(width))
-        power = -0.5 * jnp.minimum(s3d, 2.0 * d2)
+        # same folded-constant form as the forward kernel so the min-branch
+        # selection matches it bit-exactly
+        d2x2 = (dxn * dxn + dyn * dyn) * (2.0 * float(width) * float(width))
+        power = -0.5 * jnp.minimum(s3d, d2x2)
         g = jnp.where(inside, jnp.exp(power), 0.0)
         raw = g * opacity
         capped = raw >= ALPHA_CAP
@@ -117,7 +120,7 @@ def _alpha_and_partials(chunk, px_vp, py_vp, mode: str, width: int, height: int)
         return alpha, {
             "g": g, "capped": capped, "dxn": dxn, "dyn": dyn, "A": A, "B": B,
             "us": us, "vs": vs, "inv_pz": inv_pz, "pz_raw": pz_raw,
-            "s3d": s3d, "d2": d2,
+            "s3d": s3d, "d2x2": d2x2,
         }
     if mode == "aabb":
         dx = cx - px_vp
@@ -299,8 +302,11 @@ def _backward_kernel(
             us, vs = aux["us"], aux["vs"]
             A, B = aux["A"], aux["B"]
             dxn, dyn = aux["dxn"], aux["dyn"]
-            take3d = aux["s3d"] <= 2.0 * aux["d2"]  # min() picks s3d branch
+            take3d = aux["s3d"] <= aux["d2x2"]  # min() picks s3d branch
             ds3d = jnp.where(take3d, -0.5 * dpower, 0.0)
+            # power = -0.5*d2x2 on the 2D branch with d2x2 = 2 w^2 (dxn^2 +
+            # dyn^2), so d(power)/d(dxn) = -2 w^2 dxn — identical chain to
+            # the old 2*d2 form
             dd2 = jnp.where(take3d, 0.0, -dpower)
 
             inv_pz = aux["inv_pz"]  # shared with the alpha recompute

@@ -98,10 +98,12 @@ def _chunk_alpha(chunk, px_vp, py_vp, mode: str, width: int, height: int,
         # pack_raster_params): [cx, cy, mr, A, B, C (xyz each), r, g, b, alpha]
         px_ndc = px_vp * (1.0 / width)
         py_ndc = py_vp * (1.0 / height)
-        mr = chunk[2:3, :]
+        # [1, CHUNK] row scalings instead of two [PIX, CHUNK] multiplies
+        mrx = chunk[2:3, :] * (1.0 / width)
+        mry = chunk[2:3, :] * (1.0 / height)
         dxn = px_ndc - cx
         dyn = py_ndc - cy
-        inside = (jnp.abs(dxn) * width <= mr) & (jnp.abs(dyn) * height <= mr)
+        inside = (jnp.abs(dxn) <= mrx) & (jnp.abs(dyn) <= mry)
         px_ = dxn * chunk[3:4, :] + dyn * chunk[6:7, :] + chunk[9:10, :]
         py_ = dxn * chunk[4:5, :] + dyn * chunk[7:8, :] + chunk[10:11, :]
         pz_ = dxn * chunk[5:6, :] + dyn * chunk[8:9, :] + chunk[11:12, :]
@@ -110,11 +112,12 @@ def _chunk_alpha(chunk, px_vp, py_vp, mode: str, width: int, height: int,
         us = px_ * inv_pz
         vs = py_ * inv_pz
         s3d = us * us + vs * vs
-        # doubled-frame quirk: both axes scale by width
-        d2 = (dxn * dxn + dyn * dyn) * (float(width) * float(width))
-        power = -0.5 * jnp.minimum(s3d, 2.0 * d2)
+        # doubled-frame quirk: both axes scale by width (constants folded)
+        d2x2 = (dxn * dxn + dyn * dyn) * (2.0 * float(width) * float(width))
+        power = -0.5 * jnp.minimum(s3d, d2x2)
         g = jnp.where(inside, jnp.exp(power), 0.0)
         if with_edge:
+            mr = chunk[2:3, :]
             uvm = jnp.maximum(jnp.abs(dxn) * width, jnp.abs(dyn) * height) / jnp.maximum(
                 mr, 1e-12
             )

@@ -105,8 +105,11 @@ def _fragment_alpha_2d(splat, px_ndc, py_ndc, viewport):
     cy_ndc = splat["center_ndc"][1]
     dx_ndc = px_ndc - cx_ndc
     dy_ndc = py_ndc - cy_ndc
-    inside = (jnp.abs(dx_ndc) * viewport[0] <= mr) & (
-        jnp.abs(dy_ndc) * viewport[1] <= mr
+    # mr scaling hoisted to the per-splat side (identical formulation in the
+    # XLA compositor and both Pallas kernels keeps cross-path bit-parity;
+    # in the kernels it turns two [PIX, CHUNK] multiplies into row ops)
+    inside = (jnp.abs(dx_ndc) <= mr * (1.0 / viewport[0])) & (
+        jnp.abs(dy_ndc) <= mr * (1.0 / viewport[1])
     )
     A, B, C = surfel_affine_coeffs(splat["surfel_t"], splat["mean_2d"], w)
     power = surfel_affine_power(A, B, C, dx_ndc, dy_ndc, w)

@@ -590,15 +590,18 @@ def bin_gaussians(
     # tile_ranges -- cost ~40 ms via its constant-index output block.)
     if not with_inverse:
         if expand == "pallas" and params_pairs is not None:
+            # carry mode: g_orig need not ride the sort — no caller gathers
+            # by g_s when params arrive carried (slot 0 is None so any
+            # legacy use fails loudly instead of silently misindexing)
             c_par = params_pairs.shape[1]
             out = jax.lax.sort(
-                (tile.astype(jnp.int32), g_orig)
+                (tile.astype(jnp.int32),)
                 + tuple(params_pairs[:, j] for j in range(c_par)),
                 num_keys=1, is_stable=True,
             )
-            tile_s, g_s = out[0], out[1]
-            params_sorted = jnp.stack(out[2:], axis=1)
-            return g_s, tile_s, tile_s < sentinel, total, params_sorted
+            tile_s = out[0]
+            params_sorted = jnp.stack(out[1:], axis=1)
+            return None, tile_s, tile_s < sentinel, total, params_sorted
         tile_s, g_s = jax.lax.sort(
             (tile.astype(jnp.int32), g_orig), num_keys=1, is_stable=True
         )
@@ -616,12 +619,13 @@ def bin_gaussians(
         if params_pairs is not None:
             c_par = params_pairs.shape[1]
             out = jax.lax.sort(
-                (tile.astype(jnp.int32), g_orig, gidx)
+                (tile.astype(jnp.int32), gidx)
                 + tuple(params_pairs[:, j] for j in range(c_par)),
                 num_keys=1, is_stable=True,
             )
-            tile_s, g_s, gidx_s = out[0], out[1], out[2]
-            params_sorted = jnp.stack(out[3:], axis=1)
+            tile_s, gidx_s = out[0], out[1]
+            g_s = None  # carried params replace every g_s gather
+            params_sorted = jnp.stack(out[2:], axis=1)
         else:
             tile_s, g_s, gidx_s = jax.lax.sort(
                 (tile.astype(jnp.int32), g_orig, gidx), num_keys=1,
@@ -789,7 +793,9 @@ def _eval_chunk_gaussian(params, px_vp, py_vp, px_ndc, py_ndc, settings, width, 
         mr = params[..., 2:3]
         dxn = px_ndc - cx_ndc
         dyn = py_ndc - cy_ndc
-        inside = (jnp.abs(dxn) * width <= mr) & (jnp.abs(dyn) * height <= mr)
+        inside = (jnp.abs(dxn) <= mr * jnp.float32(1.0 / width)) & (
+            jnp.abs(dyn) <= mr * jnp.float32(1.0 / height)
+        )
         uvm = jnp.maximum(jnp.abs(dxn) * width, jnp.abs(dyn) * height) / jnp.maximum(mr, 1e-12)
         edge = inside & (uvm > 1.0 - 2.0 * 0.08)
         # q = dxn*A + dyn*B + C — the surfel_fragment_power homography
@@ -803,8 +809,8 @@ def _eval_chunk_gaussian(params, px_vp, py_vp, px_ndc, py_ndc, settings, width, 
         vs = py_ * inv_pz
         s3d = us * us + vs * vs
         # doubled-frame quirk: both axes scale by width (gaussian_2d.wgsl)
-        d2 = (dxn * dxn + dyn * dyn) * jnp.float32(width * width)
-        power = -0.5 * jnp.minimum(s3d, 2.0 * d2)
+        d2x2 = (dxn * dxn + dyn * dyn) * jnp.float32(2.0 * width * width)
+        power = -0.5 * jnp.minimum(s3d, d2x2)
         g = jnp.where(inside, jnp.exp(power), 0.0)
     elif settings.aabb:
         cx = params[..., 0:1]

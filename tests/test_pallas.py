@@ -294,9 +294,10 @@ class TestUnpermuteFormulations:
             preferred_unpermute,
         )
 
-        # small N: the rank gather is sub-cliff and cheap -> "rank";
-        # multi-M N: the [N, c] gather pays the 64 MiB cliff -> "perm"
-        assert preferred_unpermute(100_000, 10, env_override=False) == "rank"
+        # the perm carry-sort wins at every practical scale once the rank
+        # path's transpose is priced in (measured 94.0 vs 99.9 ms at 1M);
+        # above the 64 MiB cliff the margin widens further
+        assert preferred_unpermute(1_000_000, 10, env_override=False) == "perm"
         assert preferred_unpermute(4_000_000, 10, env_override=False) == "perm"
 
     def test_perm_and_rank_paths_agree(self):
