@@ -302,14 +302,16 @@ def get_train_core_windowed(settings: CloudSettings, width: int, height: int,
     @jax.custom_vjp
     def core(params, g_s, valid_s, start, count, gidx_s, table, g0s, rank,
              y0):
-        # delivery="carry": arg 1 IS params_sorted (bin-carried, bit-equal
-        # to params[g_s]; stop-gradiented — the true gradient is this VJP)
+        # delivery="carry": arg 1 IS params_sorted in the kernel-native
+        # [C, P] row layout (bin-carried, bit-equal to params[g_s];
+        # stop-gradiented — the true gradient is this VJP)
         params_sorted = (
             g_s if carry else _gather_rows(params, g_s, params.shape[1])
         )
         return tile_fwd.pallas_forward_raw(
             params_sorted, start, count, settings, width, height,
             interpret=interpret, y0=y0, full_height=full_height,
+            transposed_params=carry,
         )
 
     def core_fwd(params, g_s, valid_s, start, count, gidx_s, table, g0s,
@@ -320,6 +322,7 @@ def get_train_core_windowed(settings: CloudSettings, width: int, height: int,
         out_raw = tile_fwd.pallas_forward_raw(
             params_sorted, start, count, settings, width, height,
             interpret=interpret, y0=y0, full_height=full_height,
+            transposed_params=carry,
         )
         res = (params_sorted, start, count, out_raw, valid_s, gidx_s, table,
                g0s, rank, y0)
@@ -329,7 +332,7 @@ def get_train_core_windowed(settings: CloudSettings, width: int, height: int,
         (params_sorted, start, count, out_raw, valid_s, gidx_s, table, g0s,
          rank, y0) = res
         n = rank.shape[0]
-        c_par = params_sorted.shape[1]
+        c_par = params_sorted.shape[0] if carry else params_sorted.shape[1]
         g = g_out.reshape(num_tiles, 8, tile_fwd.PIX)
         o = out_raw.reshape(num_tiles, 8, tile_fwd.PIX)
         gbar = jnp.concatenate([g[:, :4, :], o[:, :3, :], o[:, 3:4, :]],
@@ -338,6 +341,7 @@ def get_train_core_windowed(settings: CloudSettings, width: int, height: int,
             params_sorted, start, count, gbar, settings, width, height,
             interpret=interpret, y0=y0, full_height=full_height,
             transposed=True, chunk_size=_BWD_CHUNK,
+            transposed_params=carry,
         )  # [c_par, P]
         # sorted pair order -> pre-sort slot order via ONE stable sort on the
         # depth-rank owner; invalid pairs (zero rows) key to the sentinel n

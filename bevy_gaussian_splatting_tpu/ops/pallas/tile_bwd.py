@@ -421,6 +421,7 @@ def pallas_composite_backward(
     full_height: int | None = None,
     transposed: bool = False,
     chunk_size: int = CHUNK,
+    transposed_params: bool = False,
 ) -> jnp.ndarray:
     """Run the backward kernel -> dparams [P, C] in the same sorted layout
     (``transposed=True``: the kernel-native [C, P] layout, whose rows are the
@@ -453,11 +454,16 @@ def pallas_composite_backward(
     tx_count = width // TILE
     ty_count = height // TILE
     num_tiles = tx_count * ty_count
-    p, c = params_sorted.shape
+    if transposed_params:
+        c, p = params_sorted.shape
+    else:
+        p, c = params_sorted.shape
 
     p_pad = (p + chunk_size + 127) // 128 * 128
     params_t = jnp.zeros((pw, p_pad), jnp.float32)
-    params_t = params_t.at[:c, :p].set(params_sorted.T)
+    params_t = params_t.at[:c, :p].set(
+        params_sorted if transposed_params else params_sorted.T
+    )
 
     kernel = functools.partial(
         _backward_kernel,

@@ -297,13 +297,18 @@ def pallas_forward_raw(
     early_exit: bool = True,
     y0=None,
     full_height: int | None = None,
+    transposed_params: bool = False,
 ) -> jnp.ndarray:
     """Raw kernel output [T*8, PIX]: rows 0-2 rgb accum, row 3 transmittance.
 
     ``y0``/``full_height``: full-frame pixel geometry for sharded band
     rendering (parallel/render.py) — ``height`` is then the band height that
     sizes the tile grid while all fragment math runs in full-image
-    coordinates.  Defaults reproduce the single-chip behavior exactly."""
+    coordinates.  Defaults reproduce the single-chip behavior exactly.
+
+    ``transposed_params``: ``params_sorted`` is already [C, P] kernel-native
+    (the carry delivery's sort rows stack straight into this layout) — skips
+    the [P, C] -> [C, P] interleave, a real P-scale transpose."""
     mode = kernel_mode(settings)
     if full_height is None:
         full_height = height
@@ -316,12 +321,17 @@ def pallas_forward_raw(
     tx_count = width // TILE
     ty_count = height // TILE
     num_tiles = tx_count * ty_count
-    p, c = params_sorted.shape
+    if transposed_params:
+        c, p = params_sorted.shape
+    else:
+        p, c = params_sorted.shape
 
     # transposed + padded so any chunk DMA stays in bounds and lanes align
     p_pad = (p + chunk_size + 127) // 128 * 128
     params_t = jnp.zeros((pw, p_pad), jnp.float32)
-    params_t = params_t.at[:c, :p].set(params_sorted.T)
+    params_t = params_t.at[:c, :p].set(
+        params_sorted if transposed_params else params_sorted.T
+    )
 
     kernel = functools.partial(
         _composite_kernel,
@@ -409,11 +419,12 @@ def pallas_composite_tiles(
     early_exit: bool = True,
     y0=None,
     full_height: int | None = None,
+    transposed_params: bool = False,
 ) -> jnp.ndarray:
     """Forward-only convenience: raw kernel + epilogue -> [H, W, 4]."""
     out_raw = pallas_forward_raw(
         params_sorted, tile_start, tile_count, settings, width, height,
         interpret=interpret, chunk_size=chunk_size, early_exit=early_exit,
-        y0=y0, full_height=full_height,
+        y0=y0, full_height=full_height, transposed_params=transposed_params,
     )
     return composite_epilogue(out_raw, background, width, height)

@@ -600,7 +600,9 @@ def bin_gaussians(
                 num_keys=1, is_stable=True,
             )
             tile_s = out[0]
-            params_sorted = jnp.stack(out[1:], axis=1)
+            # [c_par, P] kernel-native rows: stacking along axis 0 is a pure
+            # concatenation of the sort outputs (no P-scale interleave)
+            params_sorted = jnp.stack(out[1:], axis=0)
             return None, tile_s, tile_s < sentinel, total, params_sorted
         tile_s, g_s = jax.lax.sort(
             (tile.astype(jnp.int32), g_orig), num_keys=1, is_stable=True
@@ -625,7 +627,7 @@ def bin_gaussians(
             )
             tile_s, gidx_s = out[0], out[1]
             g_s = None  # carried params replace every g_s gather
-            params_sorted = jnp.stack(out[2:], axis=1)
+            params_sorted = jnp.stack(out[2:], axis=0)  # [c_par, P] rows
         else:
             tile_s, g_s, gidx_s = jax.lax.sort(
                 (tile.astype(jnp.int32), g_orig, gidx), num_keys=1,
@@ -1150,6 +1152,7 @@ def render_tiled(
         return pallas_composite_tiles(
             params_sorted, start, count, settings, width, height,
             background=background, interpret=interpret,
+            transposed_params=deliver == "carry",
         )
 
     params_sorted = _serving_params_gather(params, g_s)
