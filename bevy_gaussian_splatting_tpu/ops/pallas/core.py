@@ -164,7 +164,8 @@ def preferred_unpermute(n: int, c_live: int, env_override: bool = True) -> str:
 
 
 def preferred_params_delivery(n: int, p: int, c_par: int,
-                              env_override: bool = True) -> str:
+                              env_override: bool = True,
+                              training: bool = False) -> str:
     """How per-pair raster params reach the compositor kernel (both exact):
 
       - "gather": one post-pair-sort P-row gather from the [N, c] cloud-order
@@ -180,6 +181,12 @@ def preferred_params_delivery(n: int, p: int, c_par: int,
         forced = _os.environ.get("BGS_PARAMS_DELIVERY", "")
         if forced in ("gather", "carry"):
             return forced
+    if training:
+        # measured 4M A/B (2026-08-21): carry wins the serving forward
+        # (297 -> 262 ms) but LOSES inside the training graph (439 gather vs
+        # 509 carry) — an unexplained scheduling/liveness interaction; keep
+        # the gather for training until cracked (NOTES_r3.md).
+        return "gather"
     gather_cost = _gather_cost_ns(p, n, c_par)
     carry_cost = c_par * (n + p) * _SORT_NS_PER_ROW_OP + p * 1.0
     return "carry" if carry_cost < gather_cost else "gather"

@@ -1098,7 +1098,9 @@ def render_tiled(
             if train_pallas else "rank"
         )
         if width // TILE <= 127 and height // TILE <= 127:
-            deliver = preferred_params_delivery(n, p_max, params.shape[1])
+            deliver = preferred_params_delivery(
+                n, p_max, params.shape[1], training=train_pallas
+            )
     else:
         unperm = "rank"
     bins = bin_gaussians(

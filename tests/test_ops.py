@@ -258,3 +258,33 @@ class TestSurfelPowerForms:
         got = _np(surfel_affine_power(A, B, C, dxn, dyn, width))
         want = _np(surfel_fragment_power(local_to_pixel, pixel_coord, mean_2d))
         np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+class TestFrontDepthPermCarry:
+    def test_multi_carry_matches_single_and_gather(self):
+        """front_depth_perm's multi-operand carry must equal both the single
+        -carry path and an explicit gather by the returned perm."""
+        from bevy_gaussian_splatting_tpu.ops.rasterize_tile import (
+            front_depth_perm,
+        )
+
+        rng = np.random.default_rng(3)
+        n = 4096
+        key = jnp.asarray(rng.integers(0, 1 << 31, n), jnp.uint32)
+        active = jnp.asarray(rng.random(n) < 0.8)
+        c_int = jnp.asarray(rng.integers(0, 1 << 28, n), jnp.int32)
+        c_f1 = jnp.asarray(rng.standard_normal(n), jnp.float32)
+        c_f2 = jnp.asarray(rng.standard_normal(n), jnp.float32)
+
+        perm_a, carried_a = front_depth_perm(key, active=active, carry=c_int)
+        perm_b, carried_b = front_depth_perm(
+            key, active=active, carry=(c_int, c_f1, c_f2)
+        )
+        np.testing.assert_array_equal(np.asarray(perm_a), np.asarray(perm_b))
+        np.testing.assert_array_equal(
+            np.asarray(carried_a), np.asarray(carried_b[0])
+        )
+        for c, got in ((c_f1, carried_b[1]), (c_f2, carried_b[2])):
+            np.testing.assert_array_equal(
+                np.asarray(c)[np.asarray(perm_b)], np.asarray(got)
+            )
