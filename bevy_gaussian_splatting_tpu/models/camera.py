@@ -30,38 +30,102 @@ def _pytree_dataclass(cls):
 
 def look_at_rh(eye, target, up) -> jnp.ndarray:
     """Right-handed view matrix (world -> view), glam ``Mat4::look_at_rh``
-    convention used by Bevy's ``Transform::looking_at``."""
-    eye = jnp.asarray(eye, jnp.float32)
-    target = jnp.asarray(target, jnp.float32)
-    up = jnp.asarray(up, jnp.float32)
+    convention used by Bevy's ``Transform::looking_at``.
+
+    Host numpy math: a 4x4 camera build is ~20 scalar ops, and issuing them
+    as eager device ops costs a dispatch round-trip EACH through the remote
+    relay (~40-60 ms per camera — measured dominating the interactive
+    replay loop); one small transfer of the finished matrix is ~free."""
+    return jnp.asarray(_look_at_rh_np(eye, target, up))
+
+
+def orbit_camera_device(
+    orbit: jnp.ndarray,  # f32[6]: az, el, radius, tx, ty, tz
+    width: int,
+    height: int,
+    fov_y_radians: float = float(np.pi / 4.0),
+    z_near: float = 0.1,
+) -> "Camera":
+    """Build the orbit camera ON DEVICE from one packed scalar array
+    (traceable — call inside jit).
+
+    Serving loops that upload a fresh host-built Camera every frame pay one
+    relay transfer per pytree leaf (~10 ms/frame measured through the remote
+    TPU tunnel); this takes ONE 24-byte upload and does the 4x4 math
+    in-graph, where it is free.  The viewer's orbit parameterization:
+    ``eye = target + r * (cos(el) sin(az), sin(el), cos(el) cos(az))``."""
+    az, el, r = orbit[0], orbit[1], orbit[2]
+    target = orbit[3:6]
+    eye = target + r * jnp.stack(
+        [jnp.cos(el) * jnp.sin(az), jnp.sin(el), jnp.cos(el) * jnp.cos(az)]
+    )
+    up = jnp.array([0.0, 1.0, 0.0], jnp.float32)
 
     f = target - eye
     f = f / jnp.linalg.norm(f)
     s = jnp.cross(f, up)
     s = s / jnp.linalg.norm(s)
     u = jnp.cross(s, f)
-
-    m = jnp.stack(
+    view = jnp.stack(
         [
-            jnp.concatenate([s, jnp.array([-jnp.dot(s, eye)])]),
-            jnp.concatenate([u, jnp.array([-jnp.dot(u, eye)])]),
-            jnp.concatenate([-f, jnp.array([jnp.dot(f, eye)])]),
-            jnp.array([0.0, 0.0, 0.0, 1.0]),
+            jnp.concatenate([s, -jnp.dot(s, eye)[None]]),
+            jnp.concatenate([u, -jnp.dot(u, eye)[None]]),
+            jnp.concatenate([-f, jnp.dot(f, eye)[None]]),
+            jnp.array([0.0, 0.0, 0.0, 1.0], jnp.float32),
         ]
     )
-    return m.astype(jnp.float32)
+    proj = jnp.asarray(
+        _perspective_infinite_reverse_rh_np(
+            fov_y_radians, width / height, z_near
+        )
+    )
+    return Camera(
+        view_from_world=view,
+        clip_from_view=proj,
+        viewport=jnp.array([0.0, 0.0, float(width), float(height)], jnp.float32),
+        prev_clip_from_world=proj @ view,
+    )
+
+
+def _look_at_rh_np(eye, target, up) -> np.ndarray:
+    eye = np.asarray(eye, np.float32)
+    target = np.asarray(target, np.float32)
+    up = np.asarray(up, np.float32)
+
+    f = target - eye
+    f = f / np.linalg.norm(f)
+    s = np.cross(f, up)
+    s = s / np.linalg.norm(s)
+    u = np.cross(s, f)
+
+    return np.stack(
+        [
+            np.concatenate([s, np.array([-np.dot(s, eye)], np.float32)]),
+            np.concatenate([u, np.array([-np.dot(u, eye)], np.float32)]),
+            np.concatenate([-f, np.array([np.dot(f, eye)], np.float32)]),
+            np.array([0.0, 0.0, 0.0, 1.0], np.float32),
+        ]
+    ).astype(np.float32)
 
 
 def perspective_infinite_reverse_rh(fov_y_radians: float, aspect: float, z_near: float) -> jnp.ndarray:
     """Bevy/glam ``Mat4::perspective_infinite_reverse_rh``: reverse-Z, NDC z in
     (0, 1] with z=1 at the near plane — matches the reference's depth test
     ``GreaterEqual`` and ``in_frustum`` z-window (src/render/transform.wgsl:11-14)."""
-    f = 1.0 / jnp.tan(jnp.asarray(fov_y_radians, jnp.float32) / 2.0)
-    m = jnp.zeros((4, 4), jnp.float32)
-    m = m.at[0, 0].set(f / aspect)
-    m = m.at[1, 1].set(f)
-    m = m.at[2, 3].set(z_near)
-    m = m.at[3, 2].set(-1.0)
+    return jnp.asarray(
+        _perspective_infinite_reverse_rh_np(fov_y_radians, aspect, z_near)
+    )
+
+
+def _perspective_infinite_reverse_rh_np(
+    fov_y_radians: float, aspect: float, z_near: float
+) -> np.ndarray:
+    f = np.float32(1.0) / np.tan(np.float32(fov_y_radians) / np.float32(2.0))
+    m = np.zeros((4, 4), np.float32)
+    m[0, 0] = f / np.float32(aspect)
+    m[1, 1] = f
+    m[2, 3] = z_near
+    m[3, 2] = -1.0
     return m
 
 
@@ -112,13 +176,20 @@ class Camera:
         """Build a camera the way the reference viewer does (viewer/viewer.rs
         pan-orbit camera + Bevy default ``PerspectiveProjection``: fov pi/4,
         near 0.1)."""
-        view = look_at_rh(eye, target, up)
-        proj = perspective_infinite_reverse_rh(fov_y_radians, width / height, z_near)
+        # ALL host math (numpy): a camera build issued as eager device ops
+        # costs a relay dispatch round-trip per op (~40-60 ms per camera
+        # through the remote TPU tunnel); four small transfers are ~free
+        view = _look_at_rh_np(eye, target, up)
+        proj = _perspective_infinite_reverse_rh_np(
+            fov_y_radians, width / height, z_near
+        )
         if prev_clip_from_world is None:
             prev_clip_from_world = proj @ view
         return Camera(
-            view_from_world=view,
-            clip_from_view=proj,
+            view_from_world=jnp.asarray(view),
+            clip_from_view=jnp.asarray(proj),
             viewport=jnp.array([0.0, 0.0, float(width), float(height)], jnp.float32),
-            prev_clip_from_world=jnp.asarray(prev_clip_from_world, jnp.float32),
+            prev_clip_from_world=jnp.asarray(
+                np.asarray(prev_clip_from_world, np.float32)
+            ),
         )

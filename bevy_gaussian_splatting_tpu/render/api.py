@@ -123,8 +123,7 @@ def make_replay_pipeline(
         splats["mask"] = splats["mask"] & (back_key != sort_ops.SENTINEL_KEY)
         return splats
 
-    @jax.jit
-    def bin_fn(cloud, camera, model_transform, time):
+    def _bin_impl(cloud, camera, model_transform, time):
         splats = _splats(cloud, camera, model_transform, time)
         bins = rt.bin_gaussians(
             splats, settings, width, height, pairs_max,
@@ -136,9 +135,8 @@ def make_replay_pipeline(
         count = jnp.minimum(end - start, rt.tile_budget(len(cloud)))
         return g_s, valid_s, start, end, count
 
-    @jax.jit
-    def replay_fn(cloud, camera, model_transform, background, time,
-                  g_s, valid_s, start, end, count):
+    def _replay_impl(cloud, camera, model_transform, background, time,
+                     g_s, valid_s, start, end, count):
         splats = _splats(cloud, camera, model_transform, time)
         params = rt.pack_raster_params(splats, settings, width, height)
         params_sorted = rt._serving_params_gather(params, g_s)
@@ -157,7 +155,30 @@ def make_replay_pipeline(
             differentiable=False,
         )
 
-    return bin_fn, replay_fn
+    bin_fn = jax.jit(_bin_impl)
+    replay_fn = jax.jit(_replay_impl)
+
+    # orbit variants: the camera is built ON DEVICE from one packed f32[6]
+    # (az, el, radius, target) — a serving loop uploading a host-built
+    # Camera pays one relay transfer per pytree leaf (~10 ms/frame through
+    # the remote tunnel); this is a single 24-byte upload
+    from bevy_gaussian_splatting_tpu.models.camera import orbit_camera_device
+
+    @jax.jit
+    def bin_orbit_fn(cloud, orbit, time):
+        camera = orbit_camera_device(orbit, width, height)
+        return _bin_impl(cloud, camera, jnp.eye(4, dtype=jnp.float32), time)
+
+    @jax.jit
+    def replay_orbit_fn(cloud, orbit, background, time,
+                        g_s, valid_s, start, end, count):
+        camera = orbit_camera_device(orbit, width, height)
+        return _replay_impl(
+            cloud, camera, jnp.eye(4, dtype=jnp.float32), background, time,
+            g_s, valid_s, start, end, count,
+        )
+
+    return bin_fn, replay_fn, bin_orbit_fn, replay_orbit_fn
 
 
 class InteractiveRenderer:
@@ -193,8 +214,16 @@ class InteractiveRenderer:
         self._last_bin_ms = -1e30
         self._compiled: set = set()
         self.stats = {"bins": 0, "replays": 0}
+        # per-frame constants built once (eager tiny-op dispatches are NOT
+        # free through a remote-device relay)
+        self._eye4 = jnp.eye(4, dtype=jnp.float32)
+        self._bg0 = jnp.zeros((4,), jnp.float32)
 
     def _pose(self, camera: Camera, model_transform):
+        """Device readback fallback — callers that know their orbit state
+        should pass ``pose_key`` to :meth:`render` instead (each small
+        ``np.asarray`` through a remote-device relay both costs a dispatch
+        round trip AND drains the execution pipeline)."""
         import numpy as np
 
         return np.concatenate([
@@ -218,13 +247,21 @@ class InteractiveRenderer:
         model_transform: Optional[jnp.ndarray] = None,
         background: Optional[jnp.ndarray] = None,
         time: float = 0.0,
+        pose_key=None,
     ) -> jnp.ndarray:
+        """``pose_key``: any host-side value identifying the camera pose
+        (e.g. the viewer's ``(az, el, radius)``) — avoids the per-frame
+        device readback of the view matrix that the staleness check
+        otherwise needs."""
+        import numpy as np
         import time as _time
 
         if model_transform is None:
-            model_transform = jnp.eye(4, dtype=jnp.float32)
+            model_transform = self._eye4
         if background is None:
-            background = jnp.zeros((4,), jnp.float32)
+            background = self._bg0
+        if pose_key is not None:
+            pose_key = np.asarray(pose_key, np.float64).ravel()
         settings = self.settings
         width = int(camera.viewport[2])
         height = int(camera.viewport[3])
@@ -257,9 +294,12 @@ class InteractiveRenderer:
                 settings, width, height, compositor, bucket
             )
             self._pipes[pipe_key] = pipes
-        bin_fn, replay_fn = pipes
+        bin_fn, replay_fn = pipes[0], pipes[1]
 
-        pose = self._pose(camera, model_transform)
+        pose = (
+            pose_key if pose_key is not None
+            else self._pose(camera, model_transform)
+        )
         now_ms = _time.perf_counter() * 1e3
         if self._needs_bin(pipe_key, cloud, time, pose, now_ms):
             t0 = _time.perf_counter()
@@ -283,6 +323,90 @@ class InteractiveRenderer:
         return replay_fn(
             cloud, camera, model_transform, background, jnp.float32(time),
             *self._bins,
+        )
+
+    def render_orbit(
+        self,
+        cloud,
+        az: float,
+        el: float,
+        radius: float,
+        target=(0.0, 0.0, 0.0),
+        width: int = 512,
+        height: int = 512,
+        background: Optional[jnp.ndarray] = None,
+        time: float = 0.0,
+    ) -> jnp.ndarray:
+        """Orbit-parameterized serving frame: the camera is built ON DEVICE
+        from one packed f32[6] upload (az, el, radius, target) — the
+        fastest per-frame path (no host camera build, no per-leaf
+        transfers, host-side staleness check).  Same throttle semantics as
+        :meth:`render`."""
+        import numpy as np
+        import time as _time
+
+        if background is None:
+            background = self._bg0
+        settings = self.settings
+        compositor = (
+            "pallas" if jax.default_backend() == "tpu" else "xla"
+        )
+        base_key = (
+            "interactive", compositor, settings.static_key(), width, height,
+            len(cloud), type(cloud).__name__,
+        )
+        orbit_np = np.asarray(
+            [az, el, radius, *target], np.float32
+        )
+        orbit = jnp.asarray(orbit_np)
+        # budget sizing reuses the camera-based counter via a host camera
+        # only on recount frames (cheap: one build per _RECOUNT_PERIOD)
+        state = _BUDGET_STATE.get(base_key)
+        if state is not None and (state[1] + 1) % _RECOUNT_PERIOD:
+            bucket = state[0]
+            _BUDGET_STATE[base_key] = (bucket, state[1] + 1)
+        else:
+            camera = Camera.create(
+                eye=tuple(orbit_np[3:6] + radius * np.array([
+                    np.cos(el) * np.sin(az), np.sin(el),
+                    np.cos(el) * np.cos(az),
+                ], np.float32)),
+                target=tuple(target), width=width, height=height,
+            )
+            bucket = _current_bucket(
+                base_key, settings, width, height, cloud, camera, self._eye4
+            )
+        pipe_key = base_key + (bucket,)
+        pipes = self._pipes.get(pipe_key)
+        if pipes is None:
+            pipes = make_replay_pipeline(
+                settings, width, height, compositor, bucket
+            )
+            self._pipes[pipe_key] = pipes
+        _, _, bin_orbit_fn, replay_orbit_fn = pipes
+
+        pose = np.asarray([az, el, radius, *target, time], np.float64)
+        now_ms = _time.perf_counter() * 1e3
+        if self._needs_bin(pipe_key, cloud, time, pose, now_ms):
+            t0 = _time.perf_counter()
+            self._bins = jax.block_until_ready(
+                bin_orbit_fn(cloud, orbit, jnp.float32(time))
+            )
+            dur_ms = (_time.perf_counter() - t0) * 1e3
+            if pipe_key in self._compiled:
+                self.period_ms = max(self.period_floor_ms, 4.0 * dur_ms)
+            else:
+                self._compiled.add(pipe_key)
+                self.period_ms = self.period_floor_ms
+            self._bin_key = (pipe_key, id(cloud), float(time))
+            self._last_pose = pose
+            self._last_bin_ms = now_ms
+            self.stats["bins"] += 1
+        else:
+            self.stats["replays"] += 1
+
+        return replay_orbit_fn(
+            cloud, orbit, background, jnp.float32(time), *self._bins
         )
 
 

@@ -216,10 +216,14 @@ class ViewerState:
                 # swap the (possibly UI-modified) settings in; the renderer's
                 # pipeline key includes settings.static_key() so changed
                 # settings re-bin and re-specialize automatically
+                # orbit fast path: the camera is built ON DEVICE from one
+                # packed scalar upload; bins are reused across orbit frames
+                # per the reference's sort throttle
                 self.interactive.settings = settings
-                img = self.interactive.render(
-                    self.cloud, cam, background=self.background,
-                    time=float(settings.time),
+                img = self.interactive.render_orbit(
+                    self.cloud, az, el, radius, target=tuple(self.target),
+                    width=self.width, height=self.height,
+                    background=self.background, time=float(settings.time),
                 )
             u8 = to_srgb_u8(img)
             self.diag.tick()

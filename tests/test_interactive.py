@@ -94,3 +94,38 @@ class TestInteractiveRenderer:
         np.testing.assert_allclose(
             img, _np(render(c2, cam, impl="tiled")), atol=2e-6
         )
+
+
+class TestRenderOrbit:
+    def test_orbit_matches_host_camera_render(self):
+        """The on-device orbit camera must reproduce the host-built Camera
+        path (identical math modulo fp association: per-pixel differences
+        stay tiny and almost all pixels match tightly)."""
+        import math
+
+        cloud = _scene()
+        az, el, radius = 0.35, 0.2, 60.0
+        r = InteractiveRenderer()
+        got = _np(
+            r.render_orbit(cloud, az, el, radius, width=64, height=64)
+        )
+        eye = (
+            radius * math.cos(el) * math.sin(az),
+            radius * math.sin(el),
+            radius * math.cos(el) * math.cos(az),
+        )
+        cam = _cam(eye)
+        want = _np(render(cloud, cam, impl="tiled"))
+        diff = np.abs(got - want)
+        assert float(diff.mean()) < 1e-3
+        assert float((diff < 1e-2).mean()) > 0.995
+
+    def test_orbit_replay_reuses_bins(self):
+        cloud = _scene()
+        r = InteractiveRenderer(period_floor_ms=1e9)
+        r.render_orbit(cloud, 0.0, 0.3, 60.0, width=64, height=64)
+        img = _np(
+            r.render_orbit(cloud, 1e-4, 0.3, 60.0, width=64, height=64)
+        )
+        assert r.stats == {"bins": 1, "replays": 1}
+        assert np.isfinite(img).all()
