@@ -35,8 +35,33 @@ def look_at_rh(eye, target, up) -> jnp.ndarray:
     Host numpy math: a 4x4 camera build is ~20 scalar ops, and issuing them
     as eager device ops costs a dispatch round-trip EACH through the remote
     relay (~40-60 ms per camera — measured dominating the interactive
-    replay loop); one small transfer of the finished matrix is ~free."""
+    replay loop); one small transfer of the finished matrix is ~free.
+    Traced arguments (inside jit) keep the jnp path — the public contract
+    stays traceable."""
+    if any(
+        isinstance(a, jax.core.Tracer) for a in (eye, target, up)
+    ):
+        return _look_at_rh_jnp(eye, target, up)
     return jnp.asarray(_look_at_rh_np(eye, target, up))
+
+
+def _look_at_rh_jnp(eye, target, up) -> jnp.ndarray:
+    eye = jnp.asarray(eye, jnp.float32)
+    target = jnp.asarray(target, jnp.float32)
+    up = jnp.asarray(up, jnp.float32)
+    f = target - eye
+    f = f / jnp.linalg.norm(f)
+    s = jnp.cross(f, up)
+    s = s / jnp.linalg.norm(s)
+    u = jnp.cross(s, f)
+    return jnp.stack(
+        [
+            jnp.concatenate([s, -jnp.dot(s, eye)[None]]),
+            jnp.concatenate([u, -jnp.dot(u, eye)[None]]),
+            jnp.concatenate([-f, jnp.dot(f, eye)[None]]),
+            jnp.array([0.0, 0.0, 0.0, 1.0], jnp.float32),
+        ]
+    )
 
 
 def orbit_camera_device(
@@ -111,7 +136,20 @@ def _look_at_rh_np(eye, target, up) -> np.ndarray:
 def perspective_infinite_reverse_rh(fov_y_radians: float, aspect: float, z_near: float) -> jnp.ndarray:
     """Bevy/glam ``Mat4::perspective_infinite_reverse_rh``: reverse-Z, NDC z in
     (0, 1] with z=1 at the near plane — matches the reference's depth test
-    ``GreaterEqual`` and ``in_frustum`` z-window (src/render/transform.wgsl:11-14)."""
+    ``GreaterEqual`` and ``in_frustum`` z-window (src/render/transform.wgsl:11-14).
+
+    Traceable for traced scalars (host-numpy fast path otherwise)."""
+    if any(
+        isinstance(a, jax.core.Tracer)
+        for a in (fov_y_radians, aspect, z_near)
+    ):
+        f = 1.0 / jnp.tan(jnp.float32(fov_y_radians) / 2.0)
+        m = jnp.zeros((4, 4), jnp.float32)
+        m = m.at[0, 0].set(f / jnp.float32(aspect))
+        m = m.at[1, 1].set(f)
+        m = m.at[2, 3].set(jnp.float32(z_near))
+        m = m.at[3, 2].set(-1.0)
+        return m
     return jnp.asarray(
         _perspective_infinite_reverse_rh_np(fov_y_radians, aspect, z_near)
     )

@@ -64,8 +64,7 @@ from bevy_gaussian_splatting_tpu.ops.pallas.tile_fwd import (
 )
 
 
-def _cumsum_lanes_exclusive(x: jnp.ndarray) -> jnp.ndarray:
-    """Exclusive cumulative sum along lanes (Hillis-Steele + shift)."""
+def _cumsum_lanes_inclusive_flat(x: jnp.ndarray) -> jnp.ndarray:
     n = x.shape[1]
     lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
     shift = 1
@@ -74,6 +73,36 @@ def _cumsum_lanes_exclusive(x: jnp.ndarray) -> jnp.ndarray:
         rolled = pltpu.roll(y, shift, axis=1)
         y = y + jnp.where(lane >= shift, rolled, 0.0)
         shift *= 2
+    return y
+
+
+def _cumsum_lanes_exclusive(x: jnp.ndarray) -> jnp.ndarray:
+    """Exclusive cumulative sum along lanes (Hillis-Steele + shift).
+
+    Same two-level blocked formulation switch as tile_fwd._cumprod_lanes
+    (7 steps per 128-lane tile + a column carry, vs log2(n) full-width
+    steps)."""
+    from bevy_gaussian_splatting_tpu.ops.pallas.tile_fwd import (
+        _SCAN_BLOCK,
+        _SCAN_IMPL,
+    )
+
+    n = x.shape[1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    if _SCAN_IMPL != "blocked" or n <= _SCAN_BLOCK or n % _SCAN_BLOCK:
+        y = _cumsum_lanes_inclusive_flat(x)
+    else:
+        blocks = []
+        carry = None
+        for k in range(n // _SCAN_BLOCK):
+            b = _cumsum_lanes_inclusive_flat(
+                x[:, k * _SCAN_BLOCK : (k + 1) * _SCAN_BLOCK]
+            )
+            if carry is not None:
+                b = b + carry
+            carry = b[:, _SCAN_BLOCK - 1 :]
+            blocks.append(b)
+        y = jnp.concatenate(blocks, axis=1)
     rolled = pltpu.roll(y, 1, axis=1)
     return jnp.where(lane == 0, 0.0, rolled)
 

@@ -160,9 +160,23 @@ def _chunk_alpha(chunk, px_vp, py_vp, mode: str, width: int, height: int,
     return alpha
 
 
-def _cumprod_lanes(x: jnp.ndarray) -> jnp.ndarray:
-    """Inclusive cumulative product along axis 1 (lanes) via a log-depth
-    Hillis-Steele scan — jnp.cumprod has no Pallas TPU lowering."""
+import os as _os
+
+# Lane-scan formulation (BGS_SCAN=flat|blocked for on-device A/B):
+#   flat    — one Hillis-Steele over the full chunk width: log2(n) steps,
+#             each a full-[PIX, n] roll+mask+mul pass.
+#   blocked — two-level: 7-step scans inside each 128-lane tile (each step
+#             touches 1/nb of the data) + a [PIX, 1] column carry between
+#             tiles.  Per-element scan work becomes log2(128)=7 steps
+#             INDEPENDENT of chunk width, vs log2(n) for flat (9 at the
+#             512-lane production chunk) — a ~22% cut of the scan, which is
+#             the largest single cost in both kernels (~27 of ~50 VPU
+#             pass-equivalents per forward chunk).
+_SCAN_IMPL = _os.environ.get("BGS_SCAN", "blocked")
+_SCAN_BLOCK = 128  # one physical lane tile
+
+
+def _cumprod_lanes_flat(x: jnp.ndarray) -> jnp.ndarray:
     n = x.shape[1]
     lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
     shift = 1
@@ -171,6 +185,26 @@ def _cumprod_lanes(x: jnp.ndarray) -> jnp.ndarray:
         x = x * jnp.where(lane >= shift, rolled, 1.0)
         shift *= 2
     return x
+
+
+def _cumprod_lanes(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive cumulative product along axis 1 (lanes) — jnp.cumprod has no
+    Pallas TPU lowering.  Association differs between the two formulations by
+    ~1 ulp per factor (inside every cross-path tolerance)."""
+    n = x.shape[1]
+    if _SCAN_IMPL != "blocked" or n <= _SCAN_BLOCK or n % _SCAN_BLOCK:
+        return _cumprod_lanes_flat(x)
+    blocks = []
+    carry = None
+    for k in range(n // _SCAN_BLOCK):
+        b = _cumprod_lanes_flat(
+            x[:, k * _SCAN_BLOCK : (k + 1) * _SCAN_BLOCK]
+        )
+        if carry is not None:
+            b = b * carry
+        carry = b[:, _SCAN_BLOCK - 1 :]
+        blocks.append(b)
+    return jnp.concatenate(blocks, axis=1)
 
 
 def _composite_kernel(

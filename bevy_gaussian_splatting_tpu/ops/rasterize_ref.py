@@ -107,7 +107,12 @@ def _fragment_alpha_2d(splat, px_ndc, py_ndc, viewport):
     dy_ndc = py_ndc - cy_ndc
     # mr scaling hoisted to the per-splat side (identical formulation in the
     # XLA compositor and both Pallas kernels keeps cross-path bit-parity;
-    # in the kernels it turns two [PIX, CHUNK] multiplies into row ops)
+    # in the kernels it turns two [PIX, CHUNK] multiplies into row ops).
+    # KNOWN strict-reference deviation (documented, all in-repo paths agree):
+    # the upstream WGSL tests |d| * viewport <= mr; this |d| <= mr * (1/vp)
+    # form can flip BORDERLINE fragments by 1 ulp for non-power-of-two
+    # viewports.  If a future comparison against the upstream renderer chases
+    # a 1-px boundary diff, suspect this reformulation first, not the kernels.
     inside = (jnp.abs(dx_ndc) <= mr * (1.0 / viewport[0])) & (
         jnp.abs(dy_ndc) <= mr * (1.0 / viewport[1])
     )

@@ -209,7 +209,7 @@ class InteractiveRenderer:
         self.period_ms = float(period_floor_ms)
         self._pipes: dict = {}
         self._bins = None
-        self._bin_key = None  # (pipe_key, cloud id, time)
+        self._bin_key = None  # (pipe_key, cloud object, time)
         self._last_pose = None
         self._last_bin_ms = -1e30
         self._compiled: set = set()
@@ -234,8 +234,11 @@ class InteractiveRenderer:
     def _needs_bin(self, pipe_key, cloud, time, pose, now_ms: float) -> bool:
         if self._bins is None or self._bin_key is None:
             return True
-        key, cid, t_prev = self._bin_key
-        if key != pipe_key or cid != id(cloud) or t_prev != float(time):
+        key, bound_cloud, t_prev = self._bin_key
+        # identity (`is`) on a HELD reference, not id(): CPython reuses ids
+        # after GC, so a freshly built cloud could alias the freed previous
+        # cloud's id and silently keep stale pair membership
+        if key != pipe_key or bound_cloud is not cloud or t_prev != float(time):
             return True
         moved = not _allclose(pose, self._last_pose, self.move_atol)
         return moved and (now_ms - self._last_bin_ms) >= self.period_ms
@@ -313,7 +316,7 @@ class InteractiveRenderer:
             else:
                 self._compiled.add(pipe_key)  # first call timed the compile
                 self.period_ms = self.period_floor_ms
-            self._bin_key = (pipe_key, id(cloud), float(time))
+            self._bin_key = (pipe_key, cloud, float(time))
             self._last_pose = pose
             self._last_bin_ms = now_ms
             self.stats["bins"] += 1
@@ -348,6 +351,33 @@ class InteractiveRenderer:
         if background is None:
             background = self._bg0
         settings = self.settings
+        # honor self.impl exactly like render(): a non-tiled impl (e.g. the
+        # oracle) builds the host camera from the orbit params and delegates
+        # to the one-shot path instead of the tiled replay pipeline
+        impl = self.impl
+        if impl == "auto":
+            from bevy_gaussian_splatting_tpu.ops.rasterize_tile import supports
+
+            impl = "tiled" if supports(settings) else "oracle"
+        if impl != "tiled":
+            import math
+
+            eye = (
+                target[0] + radius * math.cos(el) * math.sin(az),
+                target[1] + radius * math.sin(el),
+                target[2] + radius * math.cos(el) * math.cos(az),
+            )
+            camera = Camera.create(
+                eye=eye, target=tuple(target), width=width, height=height
+            )
+            st = settings
+            if time != getattr(settings, "time", 0.0):
+                import dataclasses
+
+                st = dataclasses.replace(settings, time=float(time))
+            return render(
+                cloud, camera, st, self._eye4, background, impl=impl
+            )
         compositor = (
             "pallas" if jax.default_backend() == "tpu" else "xla"
         )
@@ -398,7 +428,7 @@ class InteractiveRenderer:
             else:
                 self._compiled.add(pipe_key)
                 self.period_ms = self.period_floor_ms
-            self._bin_key = (pipe_key, id(cloud), float(time))
+            self._bin_key = (pipe_key, cloud, float(time))
             self._last_pose = pose
             self._last_bin_ms = now_ms
             self.stats["bins"] += 1
@@ -413,7 +443,12 @@ class InteractiveRenderer:
 def _allclose(a, b, atol):
     import numpy as np
 
-    return b is not None and np.allclose(a, b, atol=atol)
+    # pose keys from different entry points (render's view-matrix pose vs
+    # render_orbit's packed orbit params) have different shapes: treat a
+    # shape change as "moved" instead of crashing the staleness check
+    if b is None or np.shape(a) != np.shape(b):
+        return False
+    return np.allclose(a, b, atol=atol)
 
 
 def render(

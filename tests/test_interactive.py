@@ -79,10 +79,12 @@ class TestInteractiveRenderer:
         r.render(cloud, cam, time=0.0)
         img = _np(r.render(cloud, cam, time=0.25))
         assert r.stats["bins"] == 2  # temporal scenes re-sort per frame
+        # the re-binned frame must MATCH a fresh render at the new time
         want = _np(
-            render(cloud, cam, settings, impl="tiled")
-        ) if settings.time == 0.25 else None
+            render(cloud, cam, settings.replace(time=0.25), impl="tiled")
+        )
         assert np.isfinite(img).all()
+        np.testing.assert_allclose(img, want, atol=2e-6)
 
     def test_cloud_change_rebins(self):
         cam = _cam((0.0, 0.0, 60.0))

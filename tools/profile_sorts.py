@@ -69,6 +69,46 @@ def main():
         timeit(f"stable sort 1 key + {k:2d} f32 carries", chain, tile_key,
                cols)
 
+    # complex64 carries: two f32 columns ride as one operand.  If sort
+    # permute cost is per-ROW per-operand (like the row gathers, which are
+    # width-independent <= 64B), c64 packing halves the operand bill of the
+    # grad-reorder and unpermute sorts.
+    for k in (2, 5, 8):
+        @jax.jit
+        def srtc(tk, cs, _k=k):
+            packed = tuple(
+                jax.lax.complex(cs[2 * i], cs[2 * i + 1]) for i in range(_k)
+            )
+            out = jax.lax.sort((tk,) + packed, num_keys=1, is_stable=True)
+            return out[0], [jnp.real(out[1]), jnp.imag(out[1])]
+
+        try:
+            timeit(f"stable sort 1 key + {k:2d} c64 carries", srtc, tile_key,
+                   cols)
+        except Exception as e:  # pragma: no cover - probe robustness
+            log(f"c64 carries k={k}: FAILED ({type(e).__name__}: {e})")
+            break
+
+    # i64 bitcast packing as an alternative 2-in-1 carrier
+    for k in (5,):
+        @jax.jit
+        def srti(tk, cs, _k=k):
+            packed = tuple(
+                jax.lax.bitcast_convert_type(
+                    jnp.stack([cs[2 * i], cs[2 * i + 1]], axis=-1), jnp.int64
+                )
+                for i in range(_k)
+            )
+            out = jax.lax.sort((tk,) + packed, num_keys=1, is_stable=True)
+            return out[0], out[1]
+
+        try:
+            timeit(f"stable sort 1 key + {k:2d} i64 carries", srti, tile_key,
+                   cols)
+        except Exception as e:  # pragma: no cover - probe robustness
+            log(f"i64 carries k={k}: FAILED ({type(e).__name__}: {e})")
+            break
+
     # row gather at the training shapes: [n, 10] table, p indices
     table = jax.random.normal(jax.random.PRNGKey(99), (n, 10), jnp.float32)
     idx = jax.random.randint(jax.random.PRNGKey(98), (p,), 0, n, jnp.int32)
