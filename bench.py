@@ -201,14 +201,18 @@ def main() -> int:
     if os.environ.get("BENCH_SECONDARY", "1") == "1":
         from bevy_gaussian_splatting_tpu.models.settings import GaussianMode
 
-        def measure_train(pipe_settings, c, pmax, label, iters_=2):
+        def measure_train(pipe_settings, c, pmax, label, iters_=5,
+                          windows_=3):
+            # >= 5 iters x 3 windows: the 2x2 sampling of earlier rounds
+            # could not statistically resolve the 5%-class movements being
+            # claimed (relay session variance is several ms at train size)
             fp = make_tiled_pipeline(
                 pipe_settings, width, height, differentiable=False,
                 compositor="pallas", pairs_max=pmax,
             )
             tf = bench_forward(
                 fp, lambda i: (c, camera, mt, bg, jnp.float32(i * 1e-7)),
-                iters_, windows=2,
+                iters_, windows=windows_,
             )
             tgt = fp(c, camera, mt, bg, jnp.float32(0.0))
 
@@ -228,7 +232,7 @@ def main() -> int:
             _ = float(l)
             tb = float("inf")
             k = 0
-            for _w in range(2):
+            for _w in range(windows_):
                 t0 = time.perf_counter()
                 for _i in range(iters_):
                     k += 1
@@ -249,6 +253,50 @@ def main() -> int:
             extra_configs["gs2d_train_ms"] = t2
         except Exception as e:
             log(f"2DGS secondary config failed: {type(e).__name__}: {e}")
+        if time.perf_counter() - t_start_secondary < budget_s:
+            try:  # 4DGS temporal at the 1M scale with PER-FRAME time change
+                # (BASELINE.md config 4: the per-frame re-conditioning +
+                # depth re-sort path — time is traced, so each frame re-runs
+                # the full temporal binning)
+                c4d = bgs.random_gaussians_4d_seeded(n, seed=3)
+                s4d = settings.replace(
+                    gaussian_mode=GaussianMode.GAUSSIAN_4D
+                )
+                p4d = int(jax.jit(lambda c: pair_count(
+                    c, camera, s4d, width=width, height=height,
+                    time=jnp.float32(0.5)))(c4d))
+                b4d = pairs_budget(n, p4d, headroom=1.25, quantum=4096)
+                pipe4d = make_tiled_pipeline(
+                    s4d, width, height, differentiable=False,
+                    compositor="pallas", pairs_max=b4d,
+                )
+                t4d = bench_forward(
+                    pipe4d,
+                    lambda i: (c4d, camera, mt, bg,
+                               jnp.float32(0.25 + (i % 50) * 0.01)),
+                    iters,
+                )
+                log(f"4DGS 1M fwd (per-frame time): {t4d * 1e3:.2f} ms")
+                extra_configs["gs4d_fwd_ms"] = t4d * 1e3
+            except Exception as e:
+                log(f"4DGS secondary config failed: {type(e).__name__}: {e}")
+        if time.perf_counter() - t_start_secondary < budget_s:
+            try:  # f16 gcloud-storage flavor at 1M (BASELINE.md config 2):
+                # same scene stored f16; projection decodes to f32 in-graph
+                c16 = cloud.astype(jnp.float16)
+                pipe16 = make_tiled_pipeline(
+                    settings, width, height, differentiable=False,
+                    compositor="pallas", pairs_max=budget,
+                )
+                t16 = bench_forward(
+                    pipe16,
+                    lambda i: (c16, camera, mt, bg, jnp.float32(i * 1e-7)),
+                    iters,
+                )
+                log(f"f16-storage 1M fwd: {t16 * 1e3:.2f} ms")
+                extra_configs["f16_fwd_ms"] = t16 * 1e3
+            except Exception as e:
+                log(f"f16 secondary config failed: {type(e).__name__}: {e}")
         if time.perf_counter() - t_start_secondary < budget_s:
             try:  # 4M-scale scene (BASELINE.md config 2 at scale)
                 n4 = 4 * n
@@ -308,6 +356,14 @@ def main() -> int:
         "fwd_ms": t_fwd * 1e3,
         "train_ms": (width * height / fb_rays * 1e3) if fb_rays > 0 else None,
     }
+    # absolute anchor: round-1's final validated 1M train step (105.3 ms,
+    # BASELINE.md).  vs_baseline chains round-over-round (3+ rounds of ±5%
+    # relay variance compound invisibly); this ratio cannot drift.
+    R1_ANCHOR_TRAIN_MS = 105.3
+    if line.get("train_ms"):
+        line["vs_r1_anchor"] = round(
+            float(line["train_ms"]) / R1_ANCHOR_TRAIN_MS, 4
+        )
     line.update(extra_configs)
     # per-config self-comparison: ratio vs the prior round for every ms
     # metric present in both rounds (<1.0 = faster).  A secondary config
@@ -315,6 +371,7 @@ def main() -> int:
     # shows up on the driver line instead of hiding behind the north star.
     ratios = {}
     for k in ("fwd_ms", "train_ms", "gs2d_fwd_ms", "gs2d_train_ms",
+              "gs4d_fwd_ms", "f16_fwd_ms",
               "gs3d_4m_fwd_ms", "gs3d_4m_train_ms"):
         cur, prev = line.get(k), prior_parsed.get(k)
         if cur and prev:

@@ -117,8 +117,18 @@ _gather_rows = gather_rows  # back-compat alias
 
 # lax.sort applies its permutation to every carried operand at a measured
 # ~1.3 ms per operand at 1.6M rows (~0.8 ns/row/operand, NO table-size
-# cliff) — tools/profile_sorts.py
+# cliff) — tools/profile_sorts.py.  ABOVE ~9 operands the marginal cost
+# steepens (measured 2026-08-21 at 1.6M: 9 ops 14.7 ms, 11 ops 19.9,
+# 16 ops 22.5).
 _SORT_NS_PER_ROW_OP = 0.85
+
+# complex64 carries (two f32 columns per operand) are bit-exact through the
+# sort incl. NaN payloads/subnormals/+-0/inf (verified on device) but NOT
+# cheaper: XLA decomposes complex sort operands into f32 pairs, and the 1M
+# production A/B measured identical times packed vs unpacked.  (An earlier
+# probe read a ~flat c64 cost — a DCE artifact: its unused carry outputs
+# were dropped from the sort.)  Kept for the record:
+_SORT_NS_PER_ROW_PACKED = _SORT_NS_PER_ROW_OP  # per f32 column; no win
 
 
 def _gather_cost_ns(rows: int, table_rows: int, cols: int) -> float:
@@ -182,12 +192,16 @@ def preferred_params_delivery(n: int, p: int, c_par: int,
         if forced in ("gather", "carry"):
             return forced
     if training:
-        # measured 4M A/B (2026-08-21): carry wins the serving forward
-        # (297 -> 262 ms) but LOSES inside the training graph (439 gather vs
-        # 509 carry) — an unexplained scheduling/liveness interaction; keep
-        # the gather for training until cracked (NOTES_r3.md).
+        # round-3 4M A/B: unpacked carry won the serving forward
+        # (297 -> 262 ms) but LOST inside the training graph (439 gather vs
+        # 509 carry) — keep the gather for training until the round-4
+        # c64-packed A/B re-judges it (BGS_PARAMS_DELIVERY forces).
         return "gather"
     gather_cost = _gather_cost_ns(p, n, c_par)
+    # Measured 1M forced-carry A/B (2026-08-21, v5e): 66.6 ms fwd vs 43.5
+    # gather — IDENTICAL with and without c64 packing (XLA decomposes
+    # complex sort operands back into f32 pairs; the packed probe's "flat"
+    # cost was a DCE artifact).  Keep the per-f32-column operand price.
     carry_cost = c_par * (n + p) * _SORT_NS_PER_ROW_OP + p * 1.0
     return "carry" if carry_cost < gather_cost else "gather"
 

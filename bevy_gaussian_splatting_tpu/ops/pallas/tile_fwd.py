@@ -167,12 +167,13 @@ import os as _os
 #             each a full-[PIX, n] roll+mask+mul pass.
 #   blocked — two-level: 7-step scans inside each 128-lane tile (each step
 #             touches 1/nb of the data) + a [PIX, 1] column carry between
-#             tiles.  Per-element scan work becomes log2(128)=7 steps
-#             INDEPENDENT of chunk width, vs log2(n) for flat (9 at the
-#             512-lane production chunk) — a ~22% cut of the scan, which is
-#             the largest single cost in both kernels (~27 of ~50 VPU
-#             pass-equivalents per forward chunk).
-_SCAN_IMPL = _os.environ.get("BGS_SCAN", "blocked")
+#             tiles.  On paper ~22% less scan work (7 steps/element vs 9);
+#             MEASURED on v5e (2026-08-21, PROF_ONLY=kernels, 1.6M pairs):
+#             fwd neutral (obb 16.87 flat / 16.96 blocked), bwd SLOWER
+#             (obb 34.11 / 35.47, 2d 38.80 / 40.03) — the lane-tile concat
+#             + 4x small-array op overhead eats the step savings.  Default
+#             stays FLAT; the blocked form is kept for A/B evidence.
+_SCAN_IMPL = _os.environ.get("BGS_SCAN", "flat")
 _SCAN_BLOCK = 128  # one physical lane tile
 
 

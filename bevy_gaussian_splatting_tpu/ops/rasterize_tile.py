@@ -738,8 +738,14 @@ def searchsorted_wide(
 # ---------------------------------------------------------------------------
 
 
-def pack_raster_params(splats: dict, settings: CloudSettings, width, height) -> jnp.ndarray:
-    """[N, C] packed per-splat parameters for the compositor."""
+def pack_raster_param_cols(splats: dict, settings: CloudSettings, width, height) -> list:
+    """Per-splat compositor parameters as a LIST of 1-D column arrays.
+
+    Column-array form lets callers choose the layout with zero interleave
+    cost: ``jnp.stack(cols, -1)`` -> [N, C] gather tables,
+    ``jnp.stack(cols, 0)`` -> the kernel-native [C, N] rows (a pure
+    concatenation — the [N, C] -> [C, N] interleave of a stacked table
+    costs a real ~3.5 ns/row at multi-M N)."""
     cx_vp = splats["center_ndc"][:, 0] * width
     cy_vp = splats["center_ndc"][:, 1] * height
     rgb = splats["rgb"]
@@ -778,8 +784,14 @@ def pack_raster_params(splats: dict, settings: CloudSettings, width, height) -> 
         b = splats["obb_bounds"]
         cols = [cx_vp, cy_vp, e1[:, 0], e1[:, 1], b[:, 0], b[:, 1]]
 
-    cols = cols + [rgb[:, 0], rgb[:, 1], rgb[:, 2], alpha]
-    return jnp.stack(cols, axis=-1)
+    return cols + [rgb[:, 0], rgb[:, 1], rgb[:, 2], alpha]
+
+
+def pack_raster_params(splats: dict, settings: CloudSettings, width, height) -> jnp.ndarray:
+    """[N, C] packed per-splat parameters for the compositor."""
+    return jnp.stack(
+        pack_raster_param_cols(splats, settings, width, height), axis=-1
+    )
 
 
 def _eval_chunk_gaussian(params, px_vp, py_vp, px_ndc, py_ndc, settings, width, height):

@@ -97,6 +97,7 @@ def plan_exchange(
     model_transform=None,
     time: float = 0.0,
     headroom: float = 1.25,
+    with_pairs: bool = False,
 ):
     """Host-side exchange auto-planner (run once per scene / camera schedule,
     OUTSIDE jit): project the cloud for each sample camera, measure actual
@@ -105,13 +106,23 @@ def plan_exchange(
     ``mode == "bounded"`` only when the bounded all_to_all receives fewer
     rows per device than the all-gather it replaces
     (parallel/exchange.auto_exchange_plan).  ``cameras`` may be a single
-    Camera or a list (budget covers the worst camera)."""
+    Camera or a list (budget covers the worst camera).
+
+    ``with_pairs=True`` additionally returns the measured worst-band
+    (gaussian, tile) pair count — pass it as ``pairs_hint`` to the sharded
+    pipelines so every band's expansion/pair-sort buffers scale with its
+    COVERAGE instead of the full-N worst case (the dominant sharding work
+    inflation: an un-hinted band pays the whole 6N-capped budget in every
+    P-proportional stage)."""
     import math
 
     from bevy_gaussian_splatting_tpu.parallel.exchange import (
         auto_exchange_plan,
     )
-    from bevy_gaussian_splatting_tpu.ops.rasterize_tile import tile_row_range
+    from bevy_gaussian_splatting_tpu.ops.rasterize_tile import (
+        _pixel_extents,
+        tile_row_range,
+    )
 
     n_bands = mesh.shape[TILES_AXIS]
     multiple = 256 * n_bands // math.gcd(256, n_bands)
@@ -119,12 +130,13 @@ def plan_exchange(
     n_total = padded.position.shape[0]
     n_local = n_total // n_bands
     band_rows = (height // n_bands) // TILE
+    tx_count = width // TILE
     if model_transform is None:
         model_transform = jnp.eye(4, dtype=jnp.float32)
     if not isinstance(cameras, (list, tuple)):
         cameras = [cameras]
 
-    mode, budget = "allgather", 0
+    mode, budget, band_pairs = "allgather", 0, 0
     for camera in cameras:
         clip_from_world = camera.clip_from_view @ camera.view_from_world
         splats = project_gaussians(
@@ -141,7 +153,30 @@ def plan_exchange(
             headroom=headroom,
         )
         budget = max(budget, b)
+        if with_pairs:
+            # per-band pair count: rect tile-columns x the rect's tile rows
+            # that fall inside each band (same extents math as binning)
+            cx, cy, rx, ry = _pixel_extents(splats, settings, width, height)
+            on = (
+                (cx + rx >= 0.0) & (cx - rx <= width)
+                & (cy + ry >= 0.0) & (cy - ry <= height)
+            )
+            act = np.asarray(active & on & (rx > 0.0) & (ry > 0.0))
+            tx0 = np.clip(np.floor(np.asarray(cx - rx) / TILE), 0, tx_count - 1)
+            tx1 = np.clip(np.floor(np.asarray(cx + rx) / TILE), 0, tx_count - 1)
+            w_tiles = np.where(act, tx1 - tx0 + 1, 0.0)
+            ty0n, ty1n = np.asarray(ty0), np.asarray(ty1)
+            for band in range(n_bands):
+                lo, hi = band * band_rows, (band + 1) * band_rows - 1
+                rows = np.maximum(
+                    np.minimum(ty1n, hi) - np.maximum(ty0n, lo) + 1, 0
+                )
+                band_pairs = max(
+                    band_pairs, int(np.sum(w_tiles * np.where(act, rows, 0)))
+                )
     mode = "bounded" if n_bands * budget < n_total else "allgather"
+    if with_pairs:
+        return mode, budget, band_pairs
     return mode, budget
 
 
@@ -158,6 +193,7 @@ def _local_band_render(
     compositor: str = "xla",
     exchange: str = "allgather",
     band_budget: Optional[int] = None,
+    pairs_hint: Optional[int] = None,
 ):
     """The shard_map body: local projection -> splat exchange -> composite
     this device's band of tile rows -> [height/n_bands, width, 4].
@@ -253,7 +289,10 @@ def _local_band_render(
     # single-chip binning (a band-local ndc remap would shift tile-boundary
     # decisions by an ulp).
     y0_px = band.astype(jnp.float32) * band_h
-    p_max = pairs_budget(n_total)
+    # pairs_hint (planner-measured worst-band pair count): without it every
+    # band pays the full-N coarse budget in all P-proportional stages — the
+    # dominant sharding work inflation (measured 3.4x at 1M/8 bands)
+    p_max = pairs_budget(n_total, pairs_hint)
     k_max = tile_budget(n_total)
     band_rows = band_h // TILE
     use_pallas = compositor == "pallas"
@@ -334,9 +373,12 @@ def make_sharded_render(
     compositor: str = "xla",
     exchange: str = "allgather",
     band_budget: Optional[int] = None,
+    pairs_hint: Optional[int] = None,
 ):
     """Jitted sharded forward: (cloud sharded over tiles-axis, camera, ...) ->
-    full [H, W, 4] image (replicated)."""
+    full [H, W, 4] image (replicated).  ``pairs_hint``: planner-measured
+    worst-band pair count (plan_exchange(with_pairs=True)) — sizes each
+    band's static pair buffers to its coverage."""
     n_bands = mesh.shape[TILES_AXIS]
     if height % (n_bands * TILE):
         raise ValueError(
@@ -357,6 +399,7 @@ def make_sharded_render(
             cloud_shard, camera, settings, model_transform, background, time,
             width, height, n_bands, compositor=compositor,
             exchange=exchange, band_budget=band_budget,
+            pairs_hint=pairs_hint,
         )
 
     def fn(cloud, camera, model_transform=None, background=None, time=0.0):
@@ -377,6 +420,7 @@ def make_sharded_render_multicam(
     compositor: str = "xla",
     exchange: str = "allgather",
     band_budget: Optional[int] = None,
+    pairs_hint: Optional[int] = None,
 ):
     """Camera-parallel x pixel-parallel render on a 2D (camera, tiles) mesh.
 
@@ -411,6 +455,7 @@ def make_sharded_render_multicam(
                 cloud_shard, camera, settings, model_transform, background,
                 time, width, height, n_bands, compositor=compositor,
                 exchange=exchange, band_budget=band_budget,
+                pairs_hint=pairs_hint,
             )
 
         return jax.vmap(one)(cameras_shard)
@@ -445,6 +490,7 @@ def make_train_step(
     skip_nonfinite: int = 0,
     exchange: str = "allgather",
     band_budget: Optional[int] = None,
+    pairs_hint: Optional[int] = None,
 ):
     """Sharded differentiable train step: render -> photometric loss vs
     target -> adam update of all gaussian parameters.  Returns
@@ -484,7 +530,7 @@ def make_train_step(
                 shard, camera, settings, jnp.eye(4, dtype=jnp.float32),
                 jnp.zeros((4,), jnp.float32), time, width, height, n_bands,
                 compositor=compositor, exchange=exchange,
-                band_budget=band_budget,
+                band_budget=band_budget, pairs_hint=pairs_hint,
             )
             # differentiate only THIS band's error term: the all_gather
             # transpose (psum-scatter) already accumulates every band's
@@ -525,6 +571,7 @@ def make_train_step_multicam(
     compositor: str = "xla",
     exchange: str = "allgather",
     band_budget: Optional[int] = None,
+    pairs_hint: Optional[int] = None,
 ):
     """Camera-parallel x pixel-parallel training on a 2D (camera, tiles)
     mesh: the view batch splits across the camera axis (data parallelism over
@@ -562,7 +609,7 @@ def make_train_step_multicam(
                     shard, camera, settings, jnp.eye(4, dtype=jnp.float32),
                     jnp.zeros((4,), jnp.float32), time, width, height,
                     n_bands, compositor=compositor, exchange=exchange,
-                    band_budget=band_budget,
+                    band_budget=band_budget, pairs_hint=pairs_hint,
                 )
                 return jnp.sum((img - tgt) ** 2)
 

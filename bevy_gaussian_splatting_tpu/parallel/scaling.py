@@ -91,10 +91,16 @@ def measured_work_ratio(
     iters: int = 3,
     exchange: str = "allgather",
     band_budget: Optional[int] = None,
+    pairs_hint: Optional[int] = None,
+    single_pairs_hint: Optional[int] = None,
 ) -> dict:
     """Wall-time the sharded forward on a 1-device vs n-device virtual CPU
     mesh.  With all virtual devices on one host CPU, the n-device time is the
-    TOTAL work, so t_n/t_1 is the sharding work-inflation factor."""
+    TOTAL work, so t_n/t_1 is the sharding work-inflation factor.
+
+    ``pairs_hint``/``single_pairs_hint``: planner-measured pair budgets for
+    the banded and single-device runs (both sides must be budget-fair, or
+    the ratio measures bucket mismatch instead of sharding overhead)."""
     import jax
 
     from bevy_gaussian_splatting_tpu.parallel.render import (
@@ -111,6 +117,7 @@ def measured_work_ratio(
             mesh, settings, width, height,
             exchange=exchange if n > 1 else "allgather",
             band_budget=band_budget if n > 1 else None,
+            pairs_hint=pairs_hint if n > 1 else single_pairs_hint,
         )
         img = jax.block_until_ready(fn(sharded, camera))  # compile
         best = float("inf")
@@ -123,3 +130,83 @@ def measured_work_ratio(
         out[n] = best
     out["work_ratio"] = out[n_devices] / out[1]
     return out
+
+
+def serialized_work_ratio(
+    n_devices: int,
+    n_gaussians: int,
+    width: int = 128,
+    height: int = 128,
+    timeout_s: float = 900.0,
+) -> dict:
+    """Measured sharding work-inflation with HONEST serialization: spawn the
+    CPU-mesh measurement in a subprocess pinned to ONE core (``taskset -c``),
+    so the n virtual device programs cannot overlap across host cores and
+    wall time equals total work.  (The in-process wall-clock ratio on a
+    multi-core host measures core overlap, not work — it came back 0.66 at
+    1M/8 bands, i.e. "sharding shrinks total work", which is impossible.)
+
+    The subprocess plans the exchange + pair budgets exactly like the
+    production path (plan_exchange with_pairs) so both sides are
+    budget-fair.  Returns the subprocess's JSON dict
+    (t1_s, tn_s, work_ratio, exchange, band_pairs)."""
+    import json
+    import os
+    import shutil
+    import subprocess
+    import sys
+
+    code = (
+        "import json, time\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "import dataclasses\n"
+        "import jax.numpy as jnp\n"
+        "import bevy_gaussian_splatting_tpu as bgs\n"
+        "from bevy_gaussian_splatting_tpu.parallel.render import (\n"
+        "    make_mesh, plan_exchange)\n"
+        "from bevy_gaussian_splatting_tpu.parallel.scaling import (\n"
+        "    measured_work_ratio)\n"
+        "from bevy_gaussian_splatting_tpu.ops.rasterize_tile import pair_count\n"
+        f"n, w, h, nd = {n_gaussians}, {width}, {height}, {n_devices}\n"
+        "cloud = bgs.random_gaussians_3d_seeded(n, seed=0)\n"
+        "cloud = dataclasses.replace(cloud,\n"
+        "    position_visibility=cloud.position_visibility\n"
+        "        * jnp.array([1.0, 1.0, 0.25, 1.0]),\n"
+        "    scale_opacity=cloud.scale_opacity\n"
+        "        * jnp.array([0.05, 0.05, 0.05, 1.0]))\n"
+        "cam = bgs.Camera.create(eye=(0.0, 0.0, 60.0),\n"
+        "    target=(0.0, 0.0, 0.0), width=w, height=h)\n"
+        "s = bgs.CloudSettings()\n"
+        "mesh = make_mesh(nd)\n"
+        "mode, budget, pairs = plan_exchange(\n"
+        "    cloud, cam, s, w, h, mesh, with_pairs=True)\n"
+        "sp = int(jax.jit(lambda c: pair_count(\n"
+        "    c, cam, s, width=w, height=h))(cloud))\n"
+        "out = measured_work_ratio(cloud, cam, s, w, h, nd, iters=1,\n"
+        "    exchange=mode, band_budget=budget, pairs_hint=pairs,\n"
+        "    single_pairs_hint=sp)\n"
+        "print(json.dumps({'t1_s': out[1], 'tn_s': out[nd],\n"
+        "    'work_ratio': out['work_ratio'], 'exchange': mode,\n"
+        "    'band_pairs': pairs, 'single_pairs': sp}))\n"
+    )
+    cmd = [sys.executable, "-c", code]
+    if shutil.which("taskset"):
+        cmd = ["taskset", "-c", "0"] + cmd
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={n_devices}"
+    ).strip()
+    proc = subprocess.run(
+        cmd, capture_output=True, text=True, timeout=timeout_s, env=env
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"serialized work-ratio subprocess failed: {proc.stderr[-500:]}"
+        )
+    import json as _json
+
+    return _json.loads(proc.stdout.strip().splitlines()[-1])

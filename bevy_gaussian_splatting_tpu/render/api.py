@@ -79,6 +79,7 @@ def make_replay_pipeline(
     height: int,
     compositor: str,
     pairs_max: int,
+    pair_order: Optional[bool] = None,
 ):
     """Split the tiled pipeline at the sort/bin boundary for frame-coherent
     serving (the reference re-sorts only on throttled camera movement,
@@ -87,19 +88,36 @@ def make_replay_pipeline(
 
     Returns ``(bin_fn, replay_fn)``:
       - ``bin_fn(cloud, camera, model_transform, time)`` -> the cacheable
-        binning artifacts ``(g_s, valid_s, start, end, count)`` (all integer,
-        non-differentiable);
+        binning artifacts ``(g_s, valid_s, start, end, count[, cloud_pairs])``
+        (integer, non-differentiable — plus the pair-ordered cloud rows in
+        pair-order mode);
       - ``replay_fn(cloud, camera, model_transform, background, time, *bins)``
-        -> image: fresh projection/pack + params gather + compositor only —
-        the re-sort/expansion/pair-sort prestages (~65% of a full forward)
-        are skipped.
-    """
+        -> image: fresh projection/pack + compositor only — the
+        re-sort/expansion/pair-sort prestages (~65% of a full forward) are
+        skipped.
+
+    ``pair_order`` (default on; ``BGS_REPLAY=gather|pairs`` overrides):
+    ``bin_fn`` additionally gathers the CLOUD INPUT rows into pair order
+    (one amortized gather per re-bin), and each replay frame projects /
+    SH-evaluates / packs directly on the 1.2-1.6x pair rows — eliminating
+    the per-frame P-row params gather (~14 ms at the 1M bench, the largest
+    replay slice) and the [P, C] -> [C, P] interleave (params are packed
+    straight into kernel-native rows).  Bit-identical to the gather replay:
+    every per-row op is elementwise, so duplicated rows compute exactly the
+    per-gaussian values."""
+    import os as _os
+
     import jax as _jax
 
     from bevy_gaussian_splatting_tpu.ops import rasterize_tile as rt
     from bevy_gaussian_splatting_tpu.ops import sort as sort_ops
+    from bevy_gaussian_splatting_tpu.ops.pallas.core import gather_rows
     from bevy_gaussian_splatting_tpu.ops.project import project_gaussians
     from bevy_gaussian_splatting_tpu.ops.transforms import apply_transform
+    from bevy_gaussian_splatting_tpu.models.settings import RasterizeMode
+
+    if pair_order is None:
+        pair_order = _os.environ.get("BGS_REPLAY", "pairs") != "gather"
 
     num_tiles = (width // rt.TILE) * (height // rt.TILE)
     interpret = _jax.default_backend() != "tpu"
@@ -123,6 +141,20 @@ def make_replay_pipeline(
         splats["mask"] = splats["mask"] & (back_key != sort_ops.SENTINEL_KEY)
         return splats
 
+    def _gather_cloud_pairs(cloud, g_s):
+        """Pair-ordered cloud rows: every [N, ...] leaf gathered by g_s
+        through the gather-cliff cost model (invalid slots hold in-range
+        garbage indices; their rows are never read — tile ranges exclude
+        the sorted sentinel suffix)."""
+
+        def g(leaf):
+            n = leaf.shape[0]
+            flat = leaf.reshape(n, -1)
+            out = gather_rows(flat, g_s, flat.shape[1])
+            return out.reshape((g_s.shape[0],) + leaf.shape[1:])
+
+        return jax.tree_util.tree_map(g, cloud)
+
     def _bin_impl(cloud, camera, model_transform, time):
         splats = _splats(cloud, camera, model_transform, time)
         bins = rt.bin_gaussians(
@@ -133,13 +165,53 @@ def make_replay_pipeline(
         g_s, tile_s, valid_s = bins[0], bins[1], bins[2]
         start, end = rt.tile_ranges(tile_s, num_tiles)
         count = jnp.minimum(end - start, rt.tile_budget(len(cloud)))
-        return g_s, valid_s, start, end, count
+        out = (g_s, valid_s, start, end, count)
+        if pair_order:
+            out = out + (_gather_cloud_pairs(cloud, g_s),)
+        return out
 
     def _replay_impl(cloud, camera, model_transform, background, time,
-                     g_s, valid_s, start, end, count):
-        splats = _splats(cloud, camera, model_transform, time)
-        params = rt.pack_raster_params(splats, settings, width, height)
-        params_sorted = rt._serving_params_gather(params, g_s)
+                     g_s, valid_s, start, end, count, cloud_pairs=None):
+        if cloud_pairs is None:
+            splats = _splats(cloud, camera, model_transform, time)
+            params = rt.pack_raster_params(splats, settings, width, height)
+            params_sorted = rt._serving_params_gather(params, g_s)
+            transposed = False
+        else:
+            # pair-order replay: project/SH/pack directly on the pair rows —
+            # no P-row params gather, no [P, C] -> [C, P] interleave.  The
+            # depth min/max quirk must come from the ORIGINAL cloud (it
+            # reads back-sorted entries 1 and n-1 of the N-row key array).
+            dm = None
+            if settings.rasterize_mode == RasterizeMode.DEPTH:
+                bk = sort_ops.radix_depth_key(
+                    cloud.position, model_transform,
+                    camera.clip_from_view @ camera.view_from_world,
+                    camera.world_position,
+                    settings.radix_sort_depth_bits.bits,
+                )
+                wp = apply_transform(model_transform, cloud.position)
+                fi, li = rt.back_sorted_entry_indices(bk)
+                dm = (
+                    jnp.linalg.norm(wp[li] - camera.world_position),
+                    jnp.linalg.norm(wp[fi] - camera.world_position),
+                )
+            bk_p = sort_ops.radix_depth_key(
+                cloud_pairs.position, model_transform,
+                camera.clip_from_view @ camera.view_from_world,
+                camera.world_position,
+                settings.radix_sort_depth_bits.bits,
+            )
+            splats = project_gaussians(
+                cloud_pairs, camera, settings, model_transform,
+                depth_minmax=dm, time=time,
+            )
+            splats["mask"] = splats["mask"] & (
+                bk_p != sort_ops.SENTINEL_KEY
+            )
+            cols = rt.pack_raster_param_cols(splats, settings, width, height)
+            params_sorted = jnp.stack(cols, axis=0)  # [C, P] kernel rows
+            transposed = True
         if compositor == "pallas":
             from bevy_gaussian_splatting_tpu.ops.pallas.tile_fwd import (
                 pallas_composite_tiles,
@@ -148,7 +220,10 @@ def make_replay_pipeline(
             return pallas_composite_tiles(
                 params_sorted, start, count, settings, width, height,
                 background=background, interpret=interpret,
+                transposed_params=transposed,
             )
+        if transposed:
+            params_sorted = params_sorted.T
         return rt.composite_tiles(
             params_sorted, valid_s, start, end, settings, width, height,
             k_max=rt.tile_budget(len(cloud)), background=background,
@@ -170,12 +245,11 @@ def make_replay_pipeline(
         return _bin_impl(cloud, camera, jnp.eye(4, dtype=jnp.float32), time)
 
     @jax.jit
-    def replay_orbit_fn(cloud, orbit, background, time,
-                        g_s, valid_s, start, end, count):
+    def replay_orbit_fn(cloud, orbit, background, time, *bins):
         camera = orbit_camera_device(orbit, width, height)
         return _replay_impl(
             cloud, camera, jnp.eye(4, dtype=jnp.float32), background, time,
-            g_s, valid_s, start, end, count,
+            *bins,
         )
 
     return bin_fn, replay_fn, bin_orbit_fn, replay_orbit_fn

@@ -347,14 +347,19 @@ class TestParamsDelivery:
             preferred_params_delivery,
         )
 
-        # sub-cliff tables: the P-row gather is cheap -> "gather";
-        # multi-M tables pay 24 ns/row (148 ms measured at 4M) -> "carry"
+        # sub-cliff tables: the P-row gather is cheap -> "gather" (measured
+        # 43.5 vs 66.6 forced-carry at 1M — identical with c64-packed
+        # carries, which XLA decomposes); multi-M tables pay 24 ns/row
+        # (148 ms measured at 4M) -> "carry"
         assert preferred_params_delivery(
             1_000_000, 1_605_632, 10, env_override=False
         ) == "gather"
         assert preferred_params_delivery(
             4_000_000, 6_422_528, 10, env_override=False
         ) == "carry"
+        assert preferred_params_delivery(
+            4_000_000, 6_422_528, 10, env_override=False, training=True
+        ) == "gather"
 
     def test_carry_matches_gather_forward_and_grads(self):
         """The carried params are bit-equal to params[g_s] (exact one-hot

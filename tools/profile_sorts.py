@@ -73,6 +73,9 @@ def main():
     # permute cost is per-ROW per-operand (like the row gathers, which are
     # width-independent <= 64B), c64 packing halves the operand bill of the
     # grad-reorder and unpermute sorts.
+    # NOTE: every output must be RETURNED from the jit or XLA drops the
+    # unused carry operands from the sort entirely (the first version of
+    # this probe returned only carry 0 and read a bogus ~flat cost).
     for k in (2, 5, 8):
         @jax.jit
         def srtc(tk, cs, _k=k):
@@ -80,7 +83,9 @@ def main():
                 jax.lax.complex(cs[2 * i], cs[2 * i + 1]) for i in range(_k)
             )
             out = jax.lax.sort((tk,) + packed, num_keys=1, is_stable=True)
-            return out[0], [jnp.real(out[1]), jnp.imag(out[1])]
+            return out[0], [jnp.real(c) for c in out[1:]] + [
+                jnp.imag(c) for c in out[1:]
+            ]
 
         try:
             timeit(f"stable sort 1 key + {k:2d} c64 carries", srtc, tile_key,
