@@ -21,22 +21,38 @@ from bevy_gaussian_splatting_tpu.ops.pallas import tile_bwd, tile_fwd
 
 # XLA row-gather throughput on v5e has a sharp table-size cliff (measured,
 # tools/profile_bwd_gather.py + BASELINE.md): tables <= 64 MiB gather rows at
-# ~7 ns/row, larger ones at ~24 ns/row, independent of row width (<= 64 B)
-# and index distribution.
+# ~7 ns/row, larger ones at ~24 ns/row, independent of row width — but only
+# up to ~40-byte rows.  Round-4 production ablation (PROF_ONLY=fwd,
+# 2026-08-21): a [1M, 16] f32 gather (64 B rows, 61 MB table — "sub-cliff")
+# ran at 22.9 ns/row while [1M, 10] (40 B rows) ran at 9.3 and <=8-col
+# pieces at ~7 — the width-independence claim breaks AT 64 B, which made
+# the un-split 16-col 2DGS params gather the hidden 2DGS-forward whale
+# (+34 ms of its 62 ms).
 _GATHER_CLIFF_BYTES = 64 * 1024 * 1024
-_FAST_NS, _SLOW_NS = 7.0, 24.0
+_FAST_NS, _MID_NS, _SLOW_NS = 7.0, 9.3, 24.0
+
+
+def _gather_rate(p: int, w: int) -> float:
+    """Modeled ns/row for gathering [p, w] f32 pieces (cliff + row width)."""
+    if p * w * 4 > _GATHER_CLIFF_BYTES:
+        return _SLOW_NS
+    if w <= 8:
+        return _FAST_NS
+    if w <= 10:
+        return _MID_NS
+    return _SLOW_NS  # 64 B rows measured 22.9 ns/row even sub-cliff
 
 
 def _gather_col_splits(p: int, c: int) -> list:
     """Column slices for gathering a [p, c] f32 table by ~p indices, chosen
-    by the measured cliff model: pick the piece width w (8, 4, or 2 columns)
-    minimizing ceil(c/w) * rate(w), where rate is 7 ns/row when the [p, w]
-    sub-table fits under the 64 MiB cliff and 24 ns/row above.  In-jit at
-    the 2M-pair budget the 8-col split saves ~24 ms (119 -> 95 ms
-    params-leaf step, tools/profile_bwd_gather.py); at 4M-row tables only
-    narrower pieces stay sub-cliff (e.g. [4M, 4] = 64 MiB)."""
+    by the measured cliff+width model: pick the piece width w minimizing
+    ceil(c/w) * rate(w).  In-jit at the 2M-pair budget the 8-col split
+    saves ~24 ms (119 -> 95 ms params-leaf step,
+    tools/profile_bwd_gather.py); at 4M-row tables only narrower pieces
+    stay sub-cliff (e.g. [4M, 4] = 64 MiB); 2DGS's 16-col table splits
+    8+8 (see _gather_rate)."""
     def rate(w):
-        return _SLOW_NS if p * w * 4 > _GATHER_CLIFF_BYTES else _FAST_NS
+        return _gather_rate(p, w)
 
     best_w, best_cost = c, c and rate(c)
     for w in (8, 4, 2):
@@ -136,11 +152,7 @@ def _gather_cost_ns(rows: int, table_rows: int, cols: int) -> float:
     table under the 64 MiB cliff + column-split model."""
     total = 0.0
     for a, b in _gather_col_splits(table_rows, cols):
-        w = b - a
-        rate = (
-            _SLOW_NS if table_rows * w * 4 > _GATHER_CLIFF_BYTES else _FAST_NS
-        )
-        total += rows * rate
+        total += rows * _gather_rate(table_rows, b - a)
     return total
 
 

@@ -57,7 +57,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-CHUNK = 512
+import os as _os
+
+# Per-chunk slot count (BGS_EXPAND_CHUNK for on-device A/B).  The kernel's
+# VPU work is P * WIN with WIN = CHUNK + 128 (alignment slack), so smaller
+# chunks do LESS total comparison work (384 vs 640 lanes per slot at 256)
+# at the price of more grid steps / DMA issues.
+CHUNK = int(_os.environ.get("BGS_EXPAND_CHUNK", 512))
 # owner advances <= 1 per slot, so a chunk's owners span <= CHUNK table
 # columns; the DMA base is aligned down to the 128-lane tiling, so the
 # window carries up to 127 extra leading columns

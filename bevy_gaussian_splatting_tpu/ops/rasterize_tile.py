@@ -450,15 +450,33 @@ def bin_gaussians(
             expand == "pallas" and deliver == "carry" and params is not None
         )
         if carry_params:
+            import os as _os
+
             pc = jax.lax.stop_gradient(params)
-            carries = (packed_pre,) + tuple(
-                pc[:, j] for j in range(pc.shape[1])
-            )
-            perm, carried = front_depth_perm(
-                splats["sort_key"], active=active, carry=carries
-            )
-            packed = carried[0]
-            params_rank_cols = carried[1:]
+            cols = [pc[:, j] for j in range(pc.shape[1])]
+            if _os.environ.get("BGS_CARRY_SPLIT") == "1":
+                # 4M carry-train anomaly experiment: split the wide carry
+                # sort into two half-width sorts (same key, both stable ->
+                # identical permutation, bit-exact) to halve the peak
+                # operand liveness XLA must schedule around
+                h = len(cols) // 2
+                perm, carried1 = front_depth_perm(
+                    splats["sort_key"], active=active,
+                    carry=(packed_pre,) + tuple(cols[:h]),
+                )
+                _, carried2 = front_depth_perm(
+                    splats["sort_key"], active=active,
+                    carry=tuple(cols[h:]),
+                )
+                packed = carried1[0]
+                params_rank_cols = tuple(carried1[1:]) + tuple(carried2)
+            else:
+                carries = (packed_pre,) + tuple(cols)
+                perm, carried = front_depth_perm(
+                    splats["sort_key"], active=active, carry=carries
+                )
+                packed = carried[0]
+                params_rank_cols = carried[1:]
         else:
             perm, packed = front_depth_perm(
                 splats["sort_key"], active=active, carry=packed_pre
@@ -593,16 +611,30 @@ def bin_gaussians(
             # carry mode: g_orig need not ride the sort — no caller gathers
             # by g_s when params arrive carried (slot 0 is None so any
             # legacy use fails loudly instead of silently misindexing)
+            import os as _os
+
             c_par = params_pairs.shape[1]
-            out = jax.lax.sort(
-                (tile.astype(jnp.int32),)
-                + tuple(params_pairs[:, j] for j in range(c_par)),
-                num_keys=1, is_stable=True,
-            )
-            tile_s = out[0]
+            pcols = [params_pairs[:, j] for j in range(c_par)]
+            tkey = tile.astype(jnp.int32)
+            if _os.environ.get("BGS_CARRY_SPLIT") == "1":
+                h = c_par // 2
+                out1 = jax.lax.sort(
+                    (tkey,) + tuple(pcols[:h]), num_keys=1, is_stable=True
+                )
+                out2 = jax.lax.sort(
+                    (tkey,) + tuple(pcols[h:]), num_keys=1, is_stable=True
+                )
+                tile_s = out1[0]
+                sorted_cols = out1[1:] + out2[1:]
+            else:
+                out = jax.lax.sort(
+                    (tkey,) + tuple(pcols), num_keys=1, is_stable=True
+                )
+                tile_s = out[0]
+                sorted_cols = out[1:]
             # [c_par, P] kernel-native rows: stacking along axis 0 is a pure
             # concatenation of the sort outputs (no P-scale interleave)
-            params_sorted = jnp.stack(out[1:], axis=0)
+            params_sorted = jnp.stack(sorted_cols, axis=0)
             return None, tile_s, tile_s < sentinel, total, params_sorted
         tile_s, g_s = jax.lax.sort(
             (tile.astype(jnp.int32), g_orig), num_keys=1, is_stable=True
@@ -619,15 +651,30 @@ def bin_gaussians(
         # 64 MiB gather-rate cliff, which is what made the gather path
         # superlinear at multi-M pair budgets.
         if params_pairs is not None:
+            import os as _os
+
             c_par = params_pairs.shape[1]
-            out = jax.lax.sort(
-                (tile.astype(jnp.int32), gidx)
-                + tuple(params_pairs[:, j] for j in range(c_par)),
-                num_keys=1, is_stable=True,
-            )
-            tile_s, gidx_s = out[0], out[1]
+            pcols = [params_pairs[:, j] for j in range(c_par)]
+            tkey = tile.astype(jnp.int32)
+            if _os.environ.get("BGS_CARRY_SPLIT") == "1":
+                h = c_par // 2
+                out1 = jax.lax.sort(
+                    (tkey, gidx) + tuple(pcols[:h]), num_keys=1,
+                    is_stable=True,
+                )
+                out2 = jax.lax.sort(
+                    (tkey,) + tuple(pcols[h:]), num_keys=1, is_stable=True
+                )
+                tile_s, gidx_s = out1[0], out1[1]
+                sorted_cols = out1[2:] + out2[1:]
+            else:
+                out = jax.lax.sort(
+                    (tkey, gidx) + tuple(pcols), num_keys=1, is_stable=True
+                )
+                tile_s, gidx_s = out[0], out[1]
+                sorted_cols = out[2:]
             g_s = None  # carried params replace every g_s gather
-            params_sorted = jnp.stack(out[2:], axis=0)  # [c_par, P] rows
+            params_sorted = jnp.stack(sorted_cols, axis=0)  # [c_par, P]
         else:
             tile_s, g_s, gidx_s = jax.lax.sort(
                 (tile.astype(jnp.int32), g_orig, gidx), num_keys=1,

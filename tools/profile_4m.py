@@ -1,0 +1,131 @@
+"""4M carry-train anomaly experiments (VERDICT r3 #2).
+
+Times the production 1-step train (and fwd) at BENCH-style 4M scale under
+delivery/experiment combinations, and prints the compiled programs' peak
+memory (XLA memory_analysis) — testing the round-3 suspects: operand
+liveness of the wide carry sorts (BGS_CARRY_SPLIT halves them) and
+rematerialization pressure.
+
+    PROF_CONFIGS=gather,carry,carry_split python tools/profile_4m.py
+    PROF_N=4000000 PROF_TRAIN=1 ...
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main() -> int:
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import bevy_gaussian_splatting_tpu as bgs
+    from bevy_gaussian_splatting_tpu.ops.rasterize_tile import (
+        make_tiled_pipeline,
+        pair_count,
+        pairs_budget,
+        render_tiled,
+    )
+
+    n = int(os.environ.get("PROF_N", 4_000_000))
+    width = height = int(os.environ.get("PROF_SIZE", 512))
+    do_train = os.environ.get("PROF_TRAIN", "1") == "1"
+    configs = os.environ.get(
+        "PROF_CONFIGS", "gather,carry,carry_split"
+    ).split(",")
+    settings = bgs.CloudSettings()
+
+    cloud = bgs.random_gaussians_3d_seeded(n, seed=0)
+    cloud = dataclasses.replace(
+        cloud,
+        position_visibility=cloud.position_visibility
+        * jnp.array([1.0, 1.0, 0.25, 1.0]),
+        scale_opacity=cloud.scale_opacity * jnp.array([0.05, 0.05, 0.05, 1.0]),
+    )
+    camera = bgs.Camera.create(
+        eye=(0.0, 0.0, 60.0), target=(0.0, 0.0, 0.0), width=width,
+        height=height,
+    )
+    mt = jnp.eye(4, dtype=jnp.float32)
+    bg = jnp.zeros((4,), jnp.float32)
+    pcount = int(jax.jit(lambda c: pair_count(
+        c, camera, settings, width=width, height=height))(cloud))
+    budget = pairs_budget(n, pcount, headroom=1.10, quantum=4096)
+    log(f"devices={jax.devices()} N={n} pairs {pcount} -> budget {budget}")
+
+    def timeit(name, fn, *args, iters=3, windows=3, readback=None):
+        out = fn(*args)
+        _ = np.asarray(jnp.ravel(jax.tree_util.tree_leaves(out)[0])[:1])
+        best = float("inf")
+        k = 0
+        for _w in range(windows):
+            t0 = time.perf_counter()
+            for _i in range(iters):
+                k += 1
+                out = fn(*args[:-1] + (jnp.float32(k * 1e-7),))
+            _ = np.asarray(jnp.ravel(jax.tree_util.tree_leaves(out)[0])[:1])
+            best = min(best, (time.perf_counter() - t0) / iters)
+        log(f"{name:<40} {best * 1e3:9.2f} ms")
+        return best
+
+    def mem_report(name, jitted, *args):
+        try:
+            compiled = jitted.lower(*args).compile()
+            ma = compiled.memory_analysis()
+            log(f"{name:<40} peak {ma.temp_size_in_bytes / 1e9:.2f} GB temp, "
+                f"{ma.argument_size_in_bytes / 1e9:.2f} GB args, "
+                f"{ma.output_size_in_bytes / 1e9:.2f} GB out")
+        except Exception as e:
+            log(f"{name}: memory_analysis unavailable ({e})")
+
+    for cfg in configs:
+        os.environ["BGS_PARAMS_DELIVERY"] = (
+            "carry" if cfg.startswith("carry") else "gather"
+        )
+        if cfg == "carry_split":
+            os.environ["BGS_CARRY_SPLIT"] = "1"
+        else:
+            os.environ.pop("BGS_CARRY_SPLIT", None)
+
+        fwd = make_tiled_pipeline(
+            settings, width, height, differentiable=False,
+            compositor="pallas", pairs_max=budget,
+        )
+        timeit(f"[{cfg}] fwd", fwd, cloud, camera, mt, bg, jnp.float32(0.0))
+
+        if not do_train:
+            continue
+        tgt = fwd(cloud, camera, mt, bg, jnp.float32(0.0))
+
+        @jax.jit
+        def fb(c, t):
+            def loss(c):
+                img = render_tiled(
+                    c, camera, settings, mt, bg, t,
+                    width=width, height=height, differentiable=True,
+                    compositor="pallas", pairs_max=budget,
+                )
+                return jnp.mean((img - tgt) ** 2)
+
+            return jax.value_and_grad(loss)(c)
+
+        mem_report(f"[{cfg}] train memory", fb, cloud, jnp.float32(0.0))
+        timeit(f"[{cfg}] train", fb, cloud, jnp.float32(0.0))
+    os.environ.pop("BGS_PARAMS_DELIVERY", None)
+    os.environ.pop("BGS_CARRY_SPLIT", None)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -770,6 +770,81 @@ def main():
             timeit(f"bwd kernel [{label}]", bwd_k, pj, start, count,
                    out_raw, g_out)
 
+    if only == "fwd":
+        # In-jit cumulative ablation of the PRODUCTION serving forward for
+        # any mode (PROF_MODE=obb|aabb|2d): proj+pack / +bin / +gather /
+        # full kernel.  Uses the bench's fine-quantum budget discipline.
+        from bevy_gaussian_splatting_tpu.models.settings import GaussianMode
+        from bevy_gaussian_splatting_tpu.ops.pallas.core import gather_rows
+        from bevy_gaussian_splatting_tpu.ops.pallas.tile_fwd import (
+            pallas_composite_tiles,
+        )
+
+        pmode = os.environ.get("PROF_MODE", "obb")
+        s = CloudSettings()
+        if pmode == "2d":
+            s = CloudSettings(gaussian_mode=GaussianMode.GAUSSIAN_2D)
+        elif pmode == "aabb":
+            s = CloudSettings(aabb=True)
+        pcount = int(jax.jit(lambda c: rt.pair_count(
+            c, camera, s, width=width, height=height))(cloud))
+        budget = rt.pairs_budget(n, pcount, headroom=1.10, quantum=4096)
+        log(f"mode={pmode} pair count {pcount} -> budget {budget}")
+
+        def fwd_upto(which):
+            def fn(cloud, t):
+                clip_from_world = (
+                    camera.clip_from_view @ camera.view_from_world
+                )
+                back_key = sort_ops.radix_depth_key(
+                    cloud.position, mt, clip_from_world,
+                    camera.world_position, s.radix_sort_depth_bits.bits,
+                )
+                from bevy_gaussian_splatting_tpu.ops.transforms import (
+                    apply_transform,
+                )
+
+                wp = apply_transform(mt, cloud.position)
+                fi, li = rt.back_sorted_entry_indices(back_key)
+                max_d = jnp.linalg.norm(wp[fi] - camera.world_position)
+                min_d = jnp.linalg.norm(wp[li] - camera.world_position)
+                splats = project_gaussians(
+                    cloud, camera, s, mt, depth_minmax=(min_d, max_d),
+                    time=t,
+                )
+                splats["sort_key"] = back_key
+                splats["mask"] = splats["mask"] & (
+                    back_key != sort_ops.SENTINEL_KEY
+                )
+                params = rt.pack_raster_params(splats, s, width, height)
+                if which == "proj":
+                    return params
+                bins = rt.bin_gaussians(
+                    splats, s, width, height, budget, expand="pallas",
+                )
+                g_s, tile_s = bins[0], bins[1]
+                start, end = rt.tile_ranges(
+                    tile_s, (width // rt.TILE) * (height // rt.TILE)
+                )
+                if which == "bin":
+                    return params, g_s, start, end
+                params_sorted = gather_rows(params, g_s, params.shape[1])
+                if which == "gather":
+                    return params_sorted
+                count = jnp.minimum(end - start, rt.tile_budget(n))
+                return pallas_composite_tiles(
+                    params_sorted, start, count, s, width, height,
+                    background=bg,
+                )
+
+            return jax.jit(fn)
+
+        for which in ("proj", "bin", "gather", "full"):
+            fn = fwd_upto(which)
+            out = jax.block_until_ready(fn(cloud, jnp.float32(0.0)))
+            timeit(f"fwd[{pmode}] upto {which:<6}", fn, cloud,
+                   jnp.float32(1e-7))
+
     if only == "train4":
         # In-jit ablation of the PRODUCTION windowed training backward
         # (core.get_train_core_windowed) at the bench's fine-quantum budget:
