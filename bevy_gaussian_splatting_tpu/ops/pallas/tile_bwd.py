@@ -76,35 +76,33 @@ def _cumsum_lanes_inclusive_flat(x: jnp.ndarray) -> jnp.ndarray:
     return y
 
 
-def _cumsum_lanes_exclusive(x: jnp.ndarray) -> jnp.ndarray:
-    """Exclusive cumulative sum along lanes (Hillis-Steele + shift).
+def _cumsum_lanes_inclusive(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive cumulative sum along lanes (Hillis-Steele).
 
     Same two-level blocked formulation switch as tile_fwd._cumprod_lanes
     (7 steps per 128-lane tile + a column carry, vs log2(n) full-width
-    steps)."""
+    steps).  The backward consumes the INCLUSIVE form directly
+    (qS_after = total - prefix - inclusive), saving the exclusive
+    conversion's roll+select passes."""
     from bevy_gaussian_splatting_tpu.ops.pallas.tile_fwd import (
         _SCAN_BLOCK,
         _SCAN_IMPL,
     )
 
     n = x.shape[1]
-    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
     if _SCAN_IMPL != "blocked" or n <= _SCAN_BLOCK or n % _SCAN_BLOCK:
-        y = _cumsum_lanes_inclusive_flat(x)
-    else:
-        blocks = []
-        carry = None
-        for k in range(n // _SCAN_BLOCK):
-            b = _cumsum_lanes_inclusive_flat(
-                x[:, k * _SCAN_BLOCK : (k + 1) * _SCAN_BLOCK]
-            )
-            if carry is not None:
-                b = b + carry
-            carry = b[:, _SCAN_BLOCK - 1 :]
-            blocks.append(b)
-        y = jnp.concatenate(blocks, axis=1)
-    rolled = pltpu.roll(y, 1, axis=1)
-    return jnp.where(lane == 0, 0.0, rolled)
+        return _cumsum_lanes_inclusive_flat(x)
+    blocks = []
+    carry = None
+    for k in range(n // _SCAN_BLOCK):
+        b = _cumsum_lanes_inclusive_flat(
+            x[:, k * _SCAN_BLOCK : (k + 1) * _SCAN_BLOCK]
+        )
+        if carry is not None:
+            b = b + carry
+        carry = b[:, _SCAN_BLOCK - 1 :]
+        blocks.append(b)
+    return jnp.concatenate(blocks, axis=1)
 
 
 def _alpha_and_partials(chunk, px_vp, py_vp, mode: str, width: int, height: int):
@@ -264,6 +262,10 @@ def _backward_kernel(
     # independent) the three per-channel suffix scans collapse into ONE scan
     # of q = sum_ch ghat_ch * c_ch * w, with Q_total = sum_ch ghat_ch * total_ch
     q_total = sum(ghat_rgb[ch] * total_rgb[ch] for ch in range(3))  # [PIX, 1]
+    # per-tile constant: the transmittance cotangent's dalpha term
+    # (ghat_T * T_fin) is lane-independent — fold it once into the column
+    # that qS_after subtracts instead of two full-block passes per chunk
+    gt_col = ghat_T * t_fin  # [PIX, 1]
 
     def body(state):
         c, trans, q_prefix = state
@@ -296,19 +298,23 @@ def _backward_kernel(
         gc = sum(ghat_rgb[ch] * crgb[ch] for ch in range(3))
         q = gc * w
         inv_om = 1.0 / jnp.maximum(one_minus, 1e-6)
-        local_excl = _cumsum_lanes_exclusive(q)
-        qS_after = q_total - q_prefix - local_excl - q  # sum_ch ghat_ch S_after
-        dalpha = gc * T_i - qS_after * inv_om
+        local_incl = _cumsum_lanes_inclusive(q)
+        # sum_ch ghat_ch S_after PLUS the ghat_T T_fin term, folded into one
+        # subtracted column (1-ulp reassociations vs the explicit form are
+        # inside the gradient tolerances):
+        #   dalpha = gc T_i - (S_after + ghat_T T_fin) / (1 - a)
+        qS_eff = (q_total - q_prefix + gt_col) - local_incl
+        dalpha = gc * T_i - qS_eff * inv_om
         q_prefix = q_prefix + jnp.sum(q, axis=1, keepdims=True)
-        dalpha = dalpha - ghat_T * t_fin * inv_om
         # cap + row masking zero the gradient exactly like the forward's min()
         dalpha = jnp.where(aux["capped"], 0.0, dalpha)
         dalpha = jnp.where(in_rng, dalpha, 0.0)
 
         g = aux["g"]
         opacity = chunk[ro + 3 : ro + 4, :]
-        dop = jnp.sum(dalpha * g, axis=0, keepdims=True)
-        dpower = dalpha * g * opacity  # == dalpha * alpha_raw (pre-cap)
+        dag = dalpha * g  # shared by dop and dpower (bit-identical assoc)
+        dop = jnp.sum(dag, axis=0, keepdims=True)
+        dpower = dag * opacity  # == dalpha * alpha_raw (pre-cap)
 
         zeros = jnp.zeros_like(dop)
         if mode == "aabb":
@@ -362,21 +368,25 @@ def _backward_kernel(
             u, v = aux["u"], aux["v"]
             dx, dy = aux["dx"], aux["dy"]
             # every downstream term divides by b1/b2 — fold the per-lane
-            # reciprocals into du/dv ONCE instead of paying a full-block
-            # [PIX, CHUNK] divide per reduction term (the original form had
-            # 12 block divides; this one has none)
-            dub = dpower * (-9.0 * u) * aux["inv_b1"]
-            dvb = dpower * (-9.0 * v) * aux["inv_b2"]
+            # reciprocals AND the -9 constant into [1, CHUNK] row factors
+            # (full-block passes: 2 per du/dv instead of 3; the original
+            # form additionally had 12 block divides — none remain)
+            rub = -9.0 * aux["inv_b1"]  # [1, CHUNK]
+            rvb = -9.0 * aux["inv_b2"]
+            dub = (dpower * u) * rub
+            dvb = (dpower * v) * rvb
             d2 = jnp.sum(dub * dx - dvb * dy, axis=0, keepdims=True)  # e1x
             d3 = jnp.sum(dub * dy + dvb * dx, axis=0, keepdims=True)  # e1y
-            d4 = jnp.sum(dub * -u, axis=0, keepdims=True)  # b1
-            d5 = jnp.sum(dvb * -v, axis=0, keepdims=True)  # b2
+            # b1/b2 grads: negate AFTER the reduction ([1, CHUNK] rows)
+            # instead of negating full blocks (exact: negation is sign-flip)
+            d4 = -jnp.sum(dub * u, axis=0, keepdims=True)  # b1
+            d5 = -jnp.sum(dvb * v, axis=0, keepdims=True)  # b2
             # centers: du/dcx = -e1x/b1, dv/dcx = -e1y/b2 ; du/dcy = -e1y/b1,
             # dv/dcy = +e1x/b2  (dx = px - cx, dy = py - cy)
             e1x = chunk[2:3, :]
             e1y = chunk[3:4, :]
-            dcx = jnp.sum(-dub * e1x - dvb * e1y, axis=0, keepdims=True)
-            dcy = jnp.sum(-dub * e1y + dvb * e1x, axis=0, keepdims=True)
+            dcx = -jnp.sum(dub * e1x + dvb * e1y, axis=0, keepdims=True)
+            dcy = jnp.sum(dvb * e1x - dub * e1y, axis=0, keepdims=True)
             head = [dcx, dcy, d2, d3, d4, d5]
 
         pw = dchunk_vmem.shape[1]

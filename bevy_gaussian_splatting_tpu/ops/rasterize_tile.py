@@ -50,6 +50,12 @@ from bevy_gaussian_splatting_tpu.ops.rasterize_ref import ALPHA_CAP
 TILE = 16  # pixels per tile side (16x16 = 256 px, BASELINE.json tile spec)
 
 
+def _env_flag(name: str) -> bool:
+    import os
+
+    return os.environ.get(name) == "1"
+
+
 def supports(settings: CloudSettings) -> bool:
     return True
 
@@ -1190,8 +1196,21 @@ def render_tiled(
                 settings, width, height, interpret, k_max, unpermute=unperm,
                 delivery=deliver,
             )
-            # delivery="carry": arg 1 is the bin-carried params_sorted
-            arg1 = bins[8] if deliver == "carry" else g_s
+            # delivery="carry": arg 1 is the bin-carried params_sorted.
+            # stop_gradient HERE is load-bearing: the core's vjp returns a
+            # dense zero cotangent for this argument, and without the stop
+            # XLA propagates it through the 12-operand pair sort + depth
+            # sort TRANSPOSES (inverse-permutation work at P scale) before
+            # hitting the stop_gradient inside binning — measured as the 4M
+            # "carry-train anomaly" (+39-70 ms vs gather).
+            arg1 = (
+                jax.lax.stop_gradient(bins[8]) if deliver == "carry" else g_s
+            )
+            if deliver == "carry" and _env_flag("BGS_CARRY_BARRIER"):
+                # anomaly experiment: pin the carried params as an opaque
+                # buffer so XLA cannot rematerialize the producing sorts
+                # inside the backward half of the training graph
+                arg1 = jax.lax.optimization_barrier(arg1)
             out_raw = core(
                 params, arg1, valid_s, start, count, gidx_s, table, g0s,
                 inv_map, jnp.zeros((1,), jnp.int32),

@@ -463,3 +463,38 @@ class TestScalingProxy:
             cloud, camera, bgs.CloudSettings(), WIDTH, HEIGHT, 8, iters=1
         )
         assert out["work_ratio"] > 0.0 and np.isfinite(out["work_ratio"])
+
+    def test_plan_exchange_with_pairs_bounds_band_budget(self):
+        """with_pairs returns a worst-band pair count that (a) is positive
+        for a visible scene, (b) bounds every band's true binned pair count
+        so a pairs_hint-budgeted band render is exact (matches the full
+        render bit-for-bit)."""
+        import bevy_gaussian_splatting_tpu as bgs
+        from bevy_gaussian_splatting_tpu.parallel.render import (
+            make_mesh,
+            make_sharded_render,
+            plan_exchange,
+            shard_cloud,
+        )
+
+        cloud = _scene(2048)
+        camera = bgs.Camera.create(
+            eye=(0.0, 0.0, 60.0), target=(0.0, 0.0, 0.0),
+            width=WIDTH, height=HEIGHT,
+        )
+        settings = bgs.CloudSettings()
+        mesh = make_mesh(4)
+        mode, budget, band_pairs = plan_exchange(
+            cloud, camera, settings, WIDTH, HEIGHT, mesh, with_pairs=True
+        )
+        assert band_pairs > 0
+        sharded = shard_cloud(cloud, mesh)
+        full = make_sharded_render(mesh, settings, WIDTH, HEIGHT)(
+            sharded, camera
+        )
+        hinted = make_sharded_render(
+            mesh, settings, WIDTH, HEIGHT,
+            exchange=mode, band_budget=budget if mode == "bounded" else None,
+            pairs_hint=band_pairs,
+        )(sharded, camera)
+        np.testing.assert_array_equal(np.asarray(full), np.asarray(hinted))

@@ -86,6 +86,23 @@ def main() -> int:
             log(f"{name:<40} peak {ma.temp_size_in_bytes / 1e9:.2f} GB temp, "
                 f"{ma.argument_size_in_bytes / 1e9:.2f} GB args, "
                 f"{ma.output_size_in_bytes / 1e9:.2f} GB out")
+            if os.environ.get("PROF_HLO") == "1":
+                # count sort ops + their operand rows in the optimized HLO:
+                # duplicated multi-M sorts = the rematerialization smoking gun
+                import re
+
+                txt = compiled.as_text()
+                sorts = re.findall(r"= \([^)]*\) sort\(|= [sfpu]\d[^=]*sort\(", txt)
+                big = re.findall(r"sort\([^)]*f32\[(\d{6,})\]", txt)
+                log(f"{name}: HLO sort ops = {len(sorts)}; "
+                    f"multi-100k sort operand rows: "
+                    f"{sorted(set(int(b) for b in big))[:8]}")
+                counts = {}
+                for m in re.finditer(
+                    r"f32\[(\d{7,})\]\{0\} sort", txt
+                ):
+                    counts[m.group(1)] = counts.get(m.group(1), 0) + 1
+                log(f"{name}: sort result shapes {counts}")
         except Exception as e:
             log(f"{name}: memory_analysis unavailable ({e})")
 
