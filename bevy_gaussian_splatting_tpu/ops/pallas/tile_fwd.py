@@ -140,15 +140,20 @@ def _chunk_alpha(chunk, px_vp, py_vp, mode: str, width: int, height: int,
                 > _EDGE_BAND
             )
     else:
-        # eigen-rotated quad falloff (gaussian.wgsl:489-497)
+        # eigen-rotated quad falloff (gaussian.wgsl:489-497); [1, CHUNK] row
+        # reciprocals replace two full-block divides (same form as the
+        # backward recompute and all other evaluators — cross-path
+        # bit-consistent, 1-ulp vs a true divide)
         dx = px_vp - cx
         dy = py_vp - cy
         e1x = chunk[2:3, :]
         e1y = chunk[3:4, :]
         b1 = chunk[4:5, :]
         b2 = chunk[5:6, :]
-        u = (dx * e1x + dy * e1y) / jnp.maximum(b1, 1e-12)
-        v = (dx * e1y - dy * e1x) / jnp.maximum(b2, 1e-12)
+        inv_b1 = 1.0 / jnp.maximum(b1, 1e-12)
+        inv_b2 = 1.0 / jnp.maximum(b2, 1e-12)
+        u = (dx * e1x + dy * e1y) * inv_b1
+        v = (dx * e1y - dy * e1x) * inv_b2
         inside = (jnp.abs(u) <= 1.0) & (jnp.abs(v) <= 1.0) & (b1 > 0.0)
         g = jnp.where(inside, jnp.exp(-4.5 * (u * u + v * v)), 0.0)
         if with_edge:

@@ -77,9 +77,12 @@ def _fragment_alpha_3d_obb(splat, px_vp, py_vp, viewport):
     e1 = splat["obb_axis"]
     e2x, e2y = e1[1], -e1[0]  # eigvec2 = (e1.y, -e1.x) (helpers.wgsl:103-106)
     bounds = splat["obb_bounds"]
-    safe = jnp.maximum(bounds, 1e-12)
-    u = (dx * e1[0] + dy * e1[1]) / safe[0]
-    v = (dx * e2x + dy * e2y) / safe[1]
+    # single-reciprocal form shared with all production evaluators
+    # (cross-path bit-consistency; 1-ulp vs the WGSL's divide)
+    inv1 = 1.0 / jnp.maximum(bounds[0], 1e-12)
+    inv2 = 1.0 / jnp.maximum(bounds[1], 1e-12)
+    u = (dx * e1[0] + dy * e1[1]) * inv1
+    v = (dx * e2x + dy * e2y) * inv2
     inside = (jnp.abs(u) <= 1.0) & (jnp.abs(v) <= 1.0) & (bounds[0] > 0.0)
     power = -4.5 * (u * u + v * v)  # sigma = 1/3 (gaussian.wgsl:490-494)
     edge = inside & (jnp.maximum(jnp.abs(u), jnp.abs(v)) > 1.0 - 2.0 * 0.08)

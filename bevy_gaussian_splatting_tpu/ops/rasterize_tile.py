@@ -905,10 +905,11 @@ def _eval_chunk_gaussian(params, px_vp, py_vp, px_ndc, py_ndc, settings, width, 
         e1y = params[..., 3:4]
         b1 = params[..., 4:5]
         b2 = params[..., 5:6]
-        safe1 = jnp.maximum(b1, 1e-12)
-        safe2 = jnp.maximum(b2, 1e-12)
-        u = (dx * e1x + dy * e1y) / safe1
-        v = (dx * e1y - dy * e1x) / safe2
+        # single-reciprocal form shared with the kernels (bit-consistent)
+        inv1 = 1.0 / jnp.maximum(b1, 1e-12)
+        inv2 = 1.0 / jnp.maximum(b2, 1e-12)
+        u = (dx * e1x + dy * e1y) * inv1
+        v = (dx * e1y - dy * e1x) * inv2
         inside = (jnp.abs(u) <= 1.0) & (jnp.abs(v) <= 1.0) & (b1 > 0.0)
         edge = inside & (jnp.maximum(jnp.abs(u), jnp.abs(v)) > 1.0 - 2.0 * 0.08)
         g = jnp.where(inside, jnp.exp(-4.5 * (u * u + v * v)), 0.0)

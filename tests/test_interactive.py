@@ -98,6 +98,43 @@ class TestInteractiveRenderer:
         )
 
 
+class TestPairOrderReplay:
+    def test_pair_order_matches_gather_replay_bitwise(self):
+        """The pair-order replay (project/SH/pack on pair-ordered cloud
+        rows) must reproduce the gather replay EXACTLY: every per-row op is
+        elementwise, so duplicated rows compute the per-gaussian values
+        bit-for-bit."""
+        import os
+
+        cloud = _scene()
+        cam0 = _cam((0.0, 0.0, 60.0))
+        cam1 = _cam((1e-4, 0.0, 60.0))  # replay with stale bins
+        frames = {}
+        for mode in ("gather", "pairs"):
+            os.environ["BGS_REPLAY"] = mode
+            try:
+                r = InteractiveRenderer(period_floor_ms=1e9)
+                r.render(cloud, cam0)
+                frames[mode] = _np(r.render(cloud, cam1))
+                assert r.stats == {"bins": 1, "replays": 1}
+            finally:
+                del os.environ["BGS_REPLAY"]
+        np.testing.assert_array_equal(frames["pairs"], frames["gather"])
+
+    def test_pair_order_replay_is_default(self):
+        from bevy_gaussian_splatting_tpu.render.api import (
+            make_replay_pipeline,
+        )
+
+        import bevy_gaussian_splatting_tpu as bgs
+
+        pipes = make_replay_pipeline(bgs.CloudSettings(), 64, 64, "xla", 8192)
+        cloud = _scene(512)
+        cam = _cam((0.0, 0.0, 60.0))
+        bins = pipes[0](cloud, cam, jnp.eye(4), jnp.float32(0.0))
+        assert len(bins) == 6  # bins include the pair-ordered cloud rows
+
+
 class TestRenderOrbit:
     def test_orbit_matches_host_camera_render(self):
         """The on-device orbit camera must reproduce the host-built Camera

@@ -342,6 +342,30 @@ class TestUnpermuteFormulations:
 
 
 class TestParamsDelivery:
+    def test_carry_split_bit_exact(self):
+        """BGS_CARRY_SPLIT (two half-width stable sorts on the same key)
+        must reproduce the single wide carry sort exactly — stability on an
+        identical key yields the identical permutation."""
+        import os
+
+        cloud = CLOUD
+        cam = CAM
+        settings = bgs.CloudSettings()
+        imgs = {}
+        for split in ("0", "1"):
+            os.environ["BGS_PARAMS_DELIVERY"] = "carry"
+            if split == "1":
+                os.environ["BGS_CARRY_SPLIT"] = "1"
+            try:
+                imgs[split] = np.asarray(render_tiled(
+                    cloud, cam, settings, width=128, height=128,
+                    differentiable=False, compositor="pallas",
+                ))
+            finally:
+                os.environ.pop("BGS_PARAMS_DELIVERY", None)
+                os.environ.pop("BGS_CARRY_SPLIT", None)
+        np.testing.assert_array_equal(imgs["0"], imgs["1"])
+
     def test_cost_model_switches_at_scale(self):
         from bevy_gaussian_splatting_tpu.ops.pallas.core import (
             preferred_params_delivery,

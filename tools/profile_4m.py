@@ -121,6 +121,18 @@ def main() -> int:
         )
         timeit(f"[{cfg}] fwd", fwd, cloud, camera, mt, bg, jnp.float32(0.0))
 
+        if os.environ.get("PROF_TRAINFWD") == "1":
+            # the TRAINING pipeline's forward half alone (differentiable
+            # graph, custom_vjp fwd, with_inverse artifacts — but no grad):
+            # splits the carry-train anomaly's blame between the fwd and
+            # bwd halves of the combined program
+            tf = make_tiled_pipeline(
+                settings, width, height, differentiable=True,
+                compositor="pallas", pairs_max=budget,
+            )
+            timeit(f"[{cfg}] train-fwd (no grad)", tf, cloud, camera, mt,
+                   bg, jnp.float32(0.0))
+
         if not do_train:
             continue
         tgt = fwd(cloud, camera, mt, bg, jnp.float32(0.0))
