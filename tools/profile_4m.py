@@ -151,6 +151,129 @@ def main() -> int:
 
         mem_report(f"[{cfg}] train memory", fb, cloud, jnp.float32(0.0))
         timeit(f"[{cfg}] train", fb, cloud, jnp.float32(0.0))
+
+        if os.environ.get("PROF_STAGED") == "1":
+            # two-stage training step: projection+pack in its own jit, the
+            # pipeline-core loss/grad w.r.t. the packed PARAMS in a second,
+            # and the proj/pack VJP in a third — tests whether the carry
+            # anomaly / gather discount is a combined-program scheduling
+            # artifact (each stage scheduled alone).
+            from bevy_gaussian_splatting_tpu.models.settings import (
+                RasterizeMode,
+            )
+            from bevy_gaussian_splatting_tpu.ops import (
+                rasterize_tile as rt,
+            )
+            from bevy_gaussian_splatting_tpu.ops import sort as sort_ops
+            from bevy_gaussian_splatting_tpu.ops.project import (
+                project_gaussians,
+            )
+
+            def _proj(c, t):
+                clip_from_world = (
+                    camera.clip_from_view @ camera.view_from_world
+                )
+                back_key = sort_ops.radix_depth_key(
+                    c.position, mt, clip_from_world, camera.world_position,
+                    settings.radix_sort_depth_bits.bits,
+                )
+                splats = project_gaussians(c, camera, settings, mt, time=t)
+                splats["sort_key"] = back_key
+                splats["mask"] = splats["mask"] & (
+                    back_key != sort_ops.SENTINEL_KEY
+                )
+                params = rt.pack_raster_params(
+                    splats, settings, width, height
+                )
+                aux = {
+                    k: splats[k]
+                    for k in ("mask", "center_ndc", "sort_key", "obb_axis",
+                              "obb_bounds")
+                }
+                return params, aux
+
+            proj_jit = jax.jit(_proj)
+
+            @jax.jit
+            def core_loss_grad(params, aux, t):
+                def loss_of(params):
+                    splats = dict(aux)
+                    from bevy_gaussian_splatting_tpu.ops.pallas.core import (
+                        get_train_core_windowed,
+                        live_grad_count,
+                        preferred_unpermute,
+                    )
+                    from bevy_gaussian_splatting_tpu.ops.pallas.tile_fwd import (
+                        composite_epilogue,
+                    )
+
+                    n_ = params.shape[0]
+                    unperm = preferred_unpermute(
+                        n_, live_grad_count(settings)
+                    )
+                    deliver = (
+                        "carry" if cfg.startswith("carry") else "gather"
+                    )
+                    bins = rt.bin_gaussians(
+                        splats, settings, width, height, budget,
+                        with_inverse=True, expand="pallas",
+                        interpret=jax.default_backend() != "tpu",
+                        inverse_map=unperm,
+                        params=params if deliver == "carry" else None,
+                        deliver=deliver,
+                    )
+                    g_s, tile_s, valid_s = bins[0], bins[1], bins[2]
+                    start, end = rt.tile_ranges(
+                        tile_s, (width // rt.TILE) * (height // rt.TILE)
+                    )
+                    k_max = rt.tile_budget(n_)
+                    count = jnp.minimum(end - start, k_max)
+                    gidx_s, table, g0s, inv_map = bins[4:8]
+                    interp = jax.default_backend() != "tpu"
+                    core = get_train_core_windowed(
+                        settings, width, height, interp, k_max,
+                        unpermute=unperm, delivery=deliver,
+                    )
+                    arg1 = (
+                        jax.lax.stop_gradient(bins[8])
+                        if deliver == "carry" else g_s
+                    )
+                    out_raw = core(
+                        params, arg1, valid_s, start, count, gidx_s, table,
+                        g0s, inv_map, jnp.zeros((1,), jnp.int32),
+                    )
+                    img = composite_epilogue(out_raw, bg, width, height)
+                    return jnp.mean((img - tgt) ** 2)
+
+                return jax.value_and_grad(loss_of)(params)
+
+            @jax.jit
+            def proj_vjp(c, t, dparams):
+                _, vjp = jax.vjp(lambda c: _proj(c, t)[0], c)
+                return vjp(dparams)[0]
+
+            def staged(c, t):
+                params, aux = proj_jit(c, t)
+                l, dparams = core_loss_grad(params, aux, t)
+                return l, proj_vjp(c, t, dparams)
+
+            l, g = staged(cloud, jnp.float32(0.0))
+            _ = float(l)
+            best = float("inf")
+            k = 0
+            for _w in range(3):
+                t0 = time.perf_counter()
+                for _i in range(3):
+                    k += 1
+                    l, g = staged(cloud, jnp.float32(k * 1e-7))
+                _ = float(l)
+                _ = np.asarray(
+                    jnp.ravel(jax.tree_util.tree_leaves(g)[0])[:1]
+                )
+                t1 = time.perf_counter()
+                best = min(best, (t1 - t0) / 3)
+            log(f"[{cfg}] train STAGED (3 jits)          "
+                f"{best * 1e3:9.2f} ms")
     os.environ.pop("BGS_PARAMS_DELIVERY", None)
     os.environ.pop("BGS_CARRY_SPLIT", None)
     return 0
