@@ -123,9 +123,19 @@ def gather_rows(table, idx, c_live: int):
     if len(splits) == 1 and _row_split_count(p, c_live) == 1:
         sliced = table[:, :c_live] if c_live < table.shape[1] else table
         return sliced[idx]
-    return jnp.concatenate(
-        [_gather_piece(table[:, a:b], idx, p) for a, b in splits], axis=1
-    )
+    barrier = _os.environ.get("BGS_GATHER_PIECE_BARRIER") == "1"
+
+    def piece(a, b):
+        t = table[:, a:b]
+        if barrier:
+            # A/B experiment: force each column piece to MATERIALIZE as its
+            # own compact buffer — without this XLA may fuse the slice back
+            # into a strided gather of the wide table, paying the wide-row
+            # rate the split was meant to dodge
+            t = jax.lax.optimization_barrier(t)
+        return _gather_piece(t, idx, p)
+
+    return jnp.concatenate([piece(a, b) for a, b in splits], axis=1)
 
 
 _gather_rows = gather_rows  # back-compat alias

@@ -1226,6 +1226,10 @@ def render_tiled(
             pallas_composite_tiles,
         )
 
+        # (Stacking wide layouts as separate <= 8-col tables before the
+        # gather — instead of slicing one [N, 16] — was measured NEUTRAL on
+        # v5e: 57.9 vs 58.2 ms 2DGS fwd.  The ~9 ns/row split-piece rate is
+        # the real rate, not a slice-fusion artifact.)
         params_sorted = (
             bins[4] if deliver == "carry"
             else _serving_params_gather(params, g_s)

@@ -786,8 +786,12 @@ def main():
             s = CloudSettings(gaussian_mode=GaussianMode.GAUSSIAN_2D)
         elif pmode == "aabb":
             s = CloudSettings(aabb=True)
+        elif pmode == "4d":
+            s = CloudSettings(gaussian_mode=GaussianMode.GAUSSIAN_4D)
+            cloud = bgs.random_gaussians_4d_seeded(n, seed=3)
         pcount = int(jax.jit(lambda c: rt.pair_count(
-            c, camera, s, width=width, height=height))(cloud))
+            c, camera, s, width=width, height=height,
+            time=jnp.float32(0.5)))(cloud))
         budget = rt.pairs_budget(n, pcount, headroom=1.10, quantum=4096)
         log(f"mode={pmode} pair count {pcount} -> budget {budget}")
 
@@ -819,8 +823,10 @@ def main():
                 params = rt.pack_raster_params(splats, s, width, height)
                 if which == "proj":
                     return params
+                interp = jax.default_backend() != "tpu"
                 bins = rt.bin_gaussians(
                     splats, s, width, height, budget, expand="pallas",
+                    interpret=interp,
                 )
                 g_s, tile_s = bins[0], bins[1]
                 start, end = rt.tile_ranges(
@@ -834,16 +840,17 @@ def main():
                 count = jnp.minimum(end - start, rt.tile_budget(n))
                 return pallas_composite_tiles(
                     params_sorted, start, count, s, width, height,
-                    background=bg,
+                    background=bg, interpret=interp,
                 )
 
             return jax.jit(fn)
 
+        t_base = 0.5 if pmode == "4d" else 0.0
         for which in ("proj", "bin", "gather", "full"):
             fn = fwd_upto(which)
-            out = jax.block_until_ready(fn(cloud, jnp.float32(0.0)))
+            out = jax.block_until_ready(fn(cloud, jnp.float32(t_base)))
             timeit(f"fwd[{pmode}] upto {which:<6}", fn, cloud,
-                   jnp.float32(1e-7))
+                   jnp.float32(t_base + 1e-7))
 
     if only == "train4":
         # In-jit ablation of the PRODUCTION windowed training backward
