@@ -159,6 +159,24 @@ class TestRenderOrbit:
         assert float(diff.mean()) < 1e-3
         assert float((diff < 1e-2).mean()) > 0.995
 
+    def test_orbit_honors_non_tiled_impl(self):
+        """impl='oracle' must route render_orbit through the one-shot
+        oracle path (ADVICE r3: it silently used the tiled replay)."""
+        import math
+
+        cloud = _scene(512)
+        r = InteractiveRenderer(impl="oracle")
+        az, el, radius = 0.3, 0.2, 60.0
+        got = _np(r.render_orbit(cloud, az, el, radius, width=64, height=64))
+        eye = (
+            radius * math.cos(el) * math.sin(az),
+            radius * math.sin(el),
+            radius * math.cos(el) * math.cos(az),
+        )
+        want = _np(render(cloud, _cam(eye), impl="oracle"))
+        np.testing.assert_allclose(got, want, atol=1e-6)
+        assert r.stats == {"bins": 0, "replays": 0}  # no replay pipeline
+
     def test_orbit_replay_reuses_bins(self):
         cloud = _scene()
         r = InteractiveRenderer(period_floor_ms=1e9)
