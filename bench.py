@@ -262,9 +262,14 @@ def main() -> int:
                 s4d = settings.replace(
                     gaussian_mode=GaussianMode.GAUSSIAN_4D
                 )
-                p4d = int(jax.jit(lambda c: pair_count(
-                    c, camera, s4d, width=width, height=height,
-                    time=jnp.float32(0.5)))(c4d))
+                counter4d = jax.jit(lambda c, t: pair_count(
+                    c, camera, s4d, width=width, height=height, time=t))
+                # budget must cover the WORST frame of the swept window
+                # (0.25..0.75), not one sample time
+                p4d = max(
+                    int(counter4d(c4d, jnp.float32(t)))
+                    for t in (0.25, 0.5, 0.75)
+                )
                 b4d = pairs_budget(n, p4d, headroom=1.25, quantum=4096)
                 pipe4d = make_tiled_pipeline(
                     s4d, width, height, differentiable=False,
