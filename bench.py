@@ -243,6 +243,35 @@ def main() -> int:
             log(f"{label}: fwd {tf * 1e3:.1f} ms, train {tb * 1e3:.1f} ms")
             return tf * 1e3, tb * 1e3
 
+        try:  # interactive orbit replay at bench scale (the serving loop:
+            # bins cached on the sort throttle, frames re-project in pair
+            # order — reference viewer semantics, viewer.rs:763-794)
+            from bevy_gaussian_splatting_tpu.render.api import (
+                InteractiveRenderer,
+            )
+
+            r = InteractiveRenderer(period_floor_ms=1e9)
+            img = r.render_orbit(cloud, 0.0, 0.2, 60.0, width=width,
+                                 height=height)
+            _ = np.asarray(jnp.ravel(img)[:1])
+            img = r.render_orbit(cloud, 1e-5, 0.2, 60.0, width=width,
+                                 height=height)
+            _ = np.asarray(jnp.ravel(img)[:1])
+            frames = 16
+            t_rp = float("inf")
+            for w in range(3):
+                t0 = time.perf_counter()
+                for i in range(frames):
+                    az = 2.0 * np.pi * (i + 1) / frames + w * 1e-3
+                    img = r.render_orbit(cloud, az, 0.2, 60.0, width=width,
+                                         height=height)
+                _ = np.asarray(jnp.ravel(img)[:1])
+                t_rp = min(t_rp, (time.perf_counter() - t0) / frames)
+            log(f"orbit replay: {t_rp * 1e3:.2f} ms/frame "
+                f"({1.0 / t_rp:.1f} FPS), stats={r.stats}")
+            extra_configs["replay_ms"] = t_rp * 1e3
+        except Exception as e:
+            log(f"replay config failed: {type(e).__name__}: {e}")
         try:  # 2DGS surfel, same 1M scene (BASELINE.md config 3)
             s2d = settings.replace(gaussian_mode=GaussianMode.GAUSSIAN_2D)
             p2 = int(jax.jit(lambda c: pair_count(
@@ -375,8 +404,8 @@ def main() -> int:
     # regressing (like round-2's unexplained 4M fwd 253 -> 304 ms) now
     # shows up on the driver line instead of hiding behind the north star.
     ratios = {}
-    for k in ("fwd_ms", "train_ms", "gs2d_fwd_ms", "gs2d_train_ms",
-              "gs4d_fwd_ms", "f16_fwd_ms",
+    for k in ("fwd_ms", "train_ms", "replay_ms", "gs2d_fwd_ms",
+              "gs2d_train_ms", "gs4d_fwd_ms", "f16_fwd_ms",
               "gs3d_4m_fwd_ms", "gs3d_4m_train_ms"):
         cur, prev = line.get(k), prior_parsed.get(k)
         if cur and prev:
