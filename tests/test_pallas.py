@@ -352,19 +352,44 @@ class TestParamsDelivery:
         cam = CAM
         settings = bgs.CloudSettings()
         imgs = {}
-        for split in ("0", "1"):
+        for knob in (None, "BGS_CARRY_SPLIT"):
             os.environ["BGS_PARAMS_DELIVERY"] = "carry"
-            if split == "1":
-                os.environ["BGS_CARRY_SPLIT"] = "1"
+            if knob:
+                os.environ[knob] = "1"
             try:
-                imgs[split] = np.asarray(render_tiled(
+                imgs[knob] = np.asarray(render_tiled(
                     cloud, cam, settings, width=128, height=128,
                     differentiable=False, compositor="pallas",
                 ))
             finally:
                 os.environ.pop("BGS_PARAMS_DELIVERY", None)
                 os.environ.pop("BGS_CARRY_SPLIT", None)
-        np.testing.assert_array_equal(imgs["0"], imgs["1"])
+        np.testing.assert_array_equal(imgs[None], imgs["BGS_CARRY_SPLIT"])
+
+        # the barrier knob lives on the carry TRAIN path: gradients must be
+        # identical with and without it (it only pins scheduling)
+        def loss(c, ):
+            img = render_tiled(
+                c, cam, settings, width=128, height=128,
+                differentiable=True, compositor="pallas",
+            )
+            return jnp.mean(img ** 2)
+
+        grads = {}
+        for knob in (None, "BGS_CARRY_BARRIER"):
+            os.environ["BGS_PARAMS_DELIVERY"] = "carry"
+            if knob:
+                os.environ[knob] = "1"
+            try:
+                grads[knob] = np.asarray(
+                    jax.grad(loss)(cloud).position_visibility
+                )
+            finally:
+                os.environ.pop("BGS_PARAMS_DELIVERY", None)
+                os.environ.pop("BGS_CARRY_BARRIER", None)
+        np.testing.assert_array_equal(
+            grads[None], grads["BGS_CARRY_BARRIER"]
+        )
 
     def test_cost_model_switches_at_scale(self):
         from bevy_gaussian_splatting_tpu.ops.pallas.core import (
