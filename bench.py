@@ -257,7 +257,11 @@ def main() -> int:
             img = r.render_orbit(cloud, 1e-5, 0.2, 60.0, width=width,
                                  height=height)
             _ = np.asarray(jnp.ravel(img)[:1])
-            frames = 16
+            # 24-frame windows: the documented replay protocol
+            # (tools/profile_replay.py, NOTES_r4) — longer windows average
+            # out per-frame dispatch jitter that 16-frame windows read ~1.5
+            # ms high on.
+            frames = 24
             t_rp = float("inf")
             for w in range(3):
                 t0 = time.perf_counter()
