@@ -231,15 +231,15 @@ def pallas_expand_pairs(
             )
 
         in_specs = [
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ]
         operands = (g0s.astype(jnp.int32), table, params_t)
     else:
         kernel = functools.partial(
             _expand_kernel, tx_count=tx_count, num_chunks=num_chunks
         )
-        in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
+        in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
         operands = (g0s.astype(jnp.int32), table)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

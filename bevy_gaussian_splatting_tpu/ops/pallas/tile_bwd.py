@@ -517,11 +517,11 @@ def pallas_composite_backward(
         num_scalar_prefetch=3,
         grid=(num_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((8, PIX), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # donated zeros
+            pl.BlockSpec(memory_space=pl.ANY),  # donated zeros
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, pw, chunk_size), jnp.float32),
             pltpu.VMEM((2, pw, chunk_size), jnp.float32),

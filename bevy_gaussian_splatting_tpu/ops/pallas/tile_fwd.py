@@ -387,7 +387,7 @@ def pallas_forward_raw(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(num_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (8, PIX), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
         ),
