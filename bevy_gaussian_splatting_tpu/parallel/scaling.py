@@ -81,6 +81,88 @@ def modeled_efficiency(
     return t_single_s / (n_bands * t_n)
 
 
+def train_comm_bytes_per_chip(
+    n_total: int,
+    n_bands: int,
+    cols_exchange: int,
+    budget: Optional[int] = None,
+    n_camera: int = 1,
+    cloud_cols: int = 60,
+) -> dict:
+    """Per-chip received bytes per TRAINING step, split by link class.
+
+    Topology: ``n_camera`` camera rows (data-parallel replicas, DCN when the
+    rows live on different hosts) x ``n_bands`` tile bands (ICI).  Traffic:
+
+    * ICI (within a camera row): the forward splat exchange
+      (:func:`exchange_bytes_per_device`) PLUS the backward transpose —
+      band-computed per-pair gradients return to the owning shard over the
+      same links (all_to_all transpose for the bounded exchange,
+      reduce-scatter for the all-gather), so backward volume == forward
+      volume and ICI bytes are exactly 2x the forward exchange.
+    * DCN (across camera rows): ring all-reduce of the local cloud-shard
+      gradients.  Each chip owns ``n_total / n_bands`` gaussians of
+      ``cloud_cols`` f32 parameters; a ring all-reduce over ``n_camera``
+      replicas receives ``2 (r-1)/r`` of the shard bytes.
+
+    Volumes only — no overlap assumptions (the efficiency model applies
+    those explicitly)."""
+    from bevy_gaussian_splatting_tpu.parallel.exchange import (
+        exchange_bytes_per_device,
+    )
+
+    vols = exchange_bytes_per_device(n_total, n_bands, cols_exchange, budget)
+    fwd = vols["bounded"] if budget is not None else vols["allgather"]
+    shard_bytes = (n_total // max(n_bands, 1)) * cloud_cols * 4
+    r = max(n_camera, 1)
+    dcn = 2.0 * (r - 1) / r * shard_bytes if r > 1 else 0.0
+    return {"ici": 2.0 * fwd, "dcn": dcn, "fwd_exchange": fwd,
+            "cloud_shard_bytes": shard_bytes}
+
+
+def modeled_efficiency_train(
+    t_train_s: float,
+    n_total: int,
+    n_hosts: int,
+    chips_per_host: int,
+    cols_exchange: int = 14,
+    budget: Optional[int] = None,
+    cloud_cols: int = 60,
+    work_ratio: float = 1.0,
+    overlap_dcn: bool = False,
+    params: dict = V5P,
+) -> float:
+    """Training-step scaling efficiency for the hybrid (camera=DCN x
+    tiles=ICI) topology — the number BASELINE's "1 chip -> 2+ hosts" bar
+    actually asks for (the forward-only ICI figure answers an easier
+    question).
+
+        T_n = work_ratio * T_train / n  +  T_ici  +  T_dcn
+        eff = T_train / (n * T_n)
+
+    ``overlap_dcn=True`` instead models the DCN gradient all-reduce
+    overlapped with compute (standard data-parallel overlap: the all-reduce
+    of layer/shard grads proceeds while the rest of the backward runs):
+    T_n = max(compute, T_dcn) + T_ici — an upper bound that is only honest
+    if the training step's graph shape actually permits the overlap."""
+    n = n_hosts * chips_per_host
+    vols = train_comm_bytes_per_chip(
+        n_total, chips_per_host, cols_exchange, budget,
+        n_camera=n_hosts, cloud_cols=cloud_cols,
+    )
+    t_ici = vols["ici"] / params["ici_bytes_per_s"] + 2 * params["launch_s"]
+    t_dcn = (
+        vols["dcn"] / params["dcn_bytes_per_s"] + params["launch_s"]
+        if vols["dcn"] else 0.0
+    )
+    compute = work_ratio * t_train_s / n
+    if overlap_dcn:
+        t_n = max(compute, t_dcn) + t_ici
+    else:
+        t_n = compute + t_ici + t_dcn
+    return t_train_s / (n * t_n)
+
+
 def measured_work_ratio(
     cloud,
     camera,
@@ -183,7 +265,7 @@ def serialized_work_ratio(
         "    cloud, cam, s, w, h, mesh, with_pairs=True)\n"
         "sp = int(jax.jit(lambda c: pair_count(\n"
         "    c, cam, s, width=w, height=h))(cloud))\n"
-        "out = measured_work_ratio(cloud, cam, s, w, h, nd, iters=1,\n"
+        "out = measured_work_ratio(cloud, cam, s, w, h, nd, iters=2,\n"
         "    exchange=mode, band_budget=budget, pairs_hint=pairs,\n"
         "    single_pairs_hint=sp)\n"
         "print(json.dumps({'t1_s': out[1], 'tn_s': out[nd],\n"
@@ -210,3 +292,36 @@ def serialized_work_ratio(
     import json as _json
 
     return _json.loads(proc.stdout.strip().splitlines()[-1])
+
+
+def serialized_work_ratio_median(
+    n_devices: int,
+    n_gaussians: int,
+    width: int = 128,
+    height: int = 128,
+    runs: int = 3,
+    timeout_s: float = 900.0,
+) -> dict:
+    """Median-of-``runs`` :func:`serialized_work_ratio` with dispersion.
+
+    A single subprocess run read 0.93 / 0.82 / 1.14 across three round-4
+    sessions — a ±16% spread on the one input the efficiency model consumes.
+    The median of >=3 runs (first-run compile cost amortized by the
+    persistent compilation cache is NOT relied on: each run re-measures with
+    iters-averaged timing) plus a reported spread makes a bad single reading
+    visible instead of silently steering the modeled efficiency."""
+    results = []
+    for _ in range(max(runs, 1)):
+        results.append(
+            serialized_work_ratio(
+                n_devices, n_gaussians, width, height, timeout_s=timeout_s
+            )
+        )
+    ratios = sorted(float(r["work_ratio"]) for r in results)
+    med = ratios[len(ratios) // 2]
+    out = next(dict(r) for r in results if float(r["work_ratio"]) == med)
+    out["work_ratio_runs"] = ratios
+    out["work_ratio_spread"] = (
+        (ratios[-1] - ratios[0]) / med if med else float("inf")
+    )
+    return out

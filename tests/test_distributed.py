@@ -448,6 +448,67 @@ class TestScalingProxy:
             0.0426, n, bands, cols, budget=20_000, work_ratio=1.5
         ) < eff_bounded
 
+    def test_train_comm_volume_accounting(self):
+        """Exact byte accounting for the training-step model (VERDICT r4 #4):
+        ICI = 2x the forward exchange (bwd transpose volume == fwd volume);
+        DCN = ring all-reduce of the per-chip cloud shard across camera
+        rows."""
+        from bevy_gaussian_splatting_tpu.parallel.exchange import (
+            exchange_bytes_per_device,
+        )
+        from bevy_gaussian_splatting_tpu.parallel.scaling import (
+            train_comm_bytes_per_chip,
+        )
+
+        n, bands, cols = 1_000_000, 4, 14
+        # single host: no DCN traffic; ICI doubles the fwd exchange exactly
+        v = train_comm_bytes_per_chip(n, bands, cols)
+        assert v["dcn"] == 0.0
+        assert v["ici"] == 2 * exchange_bytes_per_device(n, bands, cols)[
+            "allgather"
+        ]
+        # bounded exchange: same doubling on the bounded volume
+        vb = train_comm_bytes_per_chip(n, bands, cols, budget=50_000)
+        assert vb["ici"] == 2 * exchange_bytes_per_device(
+            n, bands, cols, 50_000
+        )["bounded"]
+        # 2 camera rows: ring all-reduce receives 2*(r-1)/r of the shard
+        v2 = train_comm_bytes_per_chip(n, bands, cols, n_camera=2,
+                                       cloud_cols=60)
+        shard = (n // bands) * 60 * 4
+        assert v2["cloud_shard_bytes"] == shard
+        assert v2["dcn"] == 2 * (2 - 1) / 2 * shard
+        # 4 camera rows receive more than 2 (ring factor grows)
+        v4 = train_comm_bytes_per_chip(n, bands, cols, n_camera=4,
+                                       cloud_cols=60)
+        assert v4["dcn"] > v2["dcn"]
+
+    def test_modeled_efficiency_train(self):
+        """The 2-host DCN number must be <= the single-host ICI number, the
+        overlap bound must be >= the no-overlap value, and perfect inputs
+        (no comm, ratio 1) must give eff ~ 1."""
+        from bevy_gaussian_splatting_tpu.parallel.scaling import (
+            modeled_efficiency_train,
+        )
+
+        t1, n = 0.0994, 1_000_000
+        eff_ici = modeled_efficiency_train(t1, n, 1, 8, budget=250_000)
+        eff_dcn = modeled_efficiency_train(t1, n, 2, 4, budget=250_000)
+        eff_dcn_ov = modeled_efficiency_train(
+            t1, n, 2, 4, budget=250_000, overlap_dcn=True
+        )
+        assert 0.0 < eff_dcn < eff_ici <= 1.0
+        assert eff_dcn < eff_dcn_ov <= 1.0
+        # work inflation reduces efficiency
+        assert modeled_efficiency_train(
+            t1, n, 1, 8, budget=250_000, work_ratio=1.5
+        ) < eff_ici
+        # zero-bandwidth-cost limit: eff -> 1 (free comm fabric)
+        free = dict(ici_bytes_per_s=1e30, dcn_bytes_per_s=1e30, launch_s=0.0)
+        assert abs(modeled_efficiency_train(
+            t1, n, 2, 4, params=free
+        ) - 1.0) < 1e-9
+
     def test_measured_work_ratio_runs(self):
         import bevy_gaussian_splatting_tpu as bgs
         from bevy_gaussian_splatting_tpu.parallel.scaling import (
