@@ -197,7 +197,7 @@ def main() -> int:
     # each wrapped so a relay compile failure cannot lose the main metric
     extra_configs: dict = {}
     t_start_secondary = time.perf_counter()
-    budget_s = float(os.environ.get("BENCH_SECONDARY_BUDGET_S", 2400))
+    budget_s = float(os.environ.get("BENCH_SECONDARY_BUDGET_S", 3600))
     if os.environ.get("BENCH_SECONDARY", "1") == "1":
         from bevy_gaussian_splatting_tpu.models.settings import GaussianMode
 
@@ -276,6 +276,40 @@ def main() -> int:
             extra_configs["replay_ms"] = t_rp * 1e3
         except Exception as e:
             log(f"replay config failed: {type(e).__name__}: {e}")
+        try:  # replay guard for the OTHER modes (VERDICT r4 #9): 2DGS
+            # pair-order replay must stay on the replay path (bins == 1
+            # across the orbit), and the 4DGS per-frame re-bin path — the
+            # expensive serving case by design — gets a standing number.
+            from bevy_gaussian_splatting_tpu.render.api import (
+                InteractiveRenderer,
+            )
+
+            s2d_r = settings.replace(gaussian_mode=GaussianMode.GAUSSIAN_2D)
+            r2 = InteractiveRenderer(settings=s2d_r, period_floor_ms=1e9)
+            img = r2.render_orbit(cloud, 0.0, 0.2, 60.0, width=width,
+                                  height=height)
+            _ = np.asarray(jnp.ravel(img)[:1])
+            img = r2.render_orbit(cloud, 1e-5, 0.2, 60.0, width=width,
+                                  height=height)
+            _ = np.asarray(jnp.ravel(img)[:1])
+            frames = 24
+            t_rp2 = float("inf")
+            for w in range(2):
+                t0 = time.perf_counter()
+                for i in range(frames):
+                    az = 2.0 * np.pi * (i + 1) / frames + w * 1e-3
+                    img = r2.render_orbit(cloud, az, 0.2, 60.0, width=width,
+                                          height=height)
+                _ = np.asarray(jnp.ravel(img)[:1])
+                t_rp2 = min(t_rp2, (time.perf_counter() - t0) / frames)
+            if r2.stats["bins"] != 1:
+                log(f"WARNING: 2DGS orbit left the replay path "
+                    f"(stats={r2.stats}, expected bins=1)")
+            log(f"2DGS orbit replay: {t_rp2 * 1e3:.2f} ms/frame, "
+                f"stats={r2.stats}")
+            extra_configs["gs2d_replay_ms"] = t_rp2 * 1e3
+        except Exception as e:
+            log(f"2DGS replay config failed: {type(e).__name__}: {e}")
         try:  # 2DGS surfel, same 1M scene (BASELINE.md config 3)
             s2d = settings.replace(gaussian_mode=GaussianMode.GAUSSIAN_2D)
             p2 = int(jax.jit(lambda c: pair_count(
@@ -286,6 +320,23 @@ def main() -> int:
             extra_configs["gs2d_train_ms"] = t2
         except Exception as e:
             log(f"2DGS secondary config failed: {type(e).__name__}: {e}")
+        try:  # standing training-quality metric (VERDICT r4 #3): fixed-seed
+            # multiview convergence PSNR through the PRODUCTION Pallas
+            # custom-VJP backward — three rounds of backward perf golf were
+            # guarded only by pointwise allclose; this pins the dynamics
+            from bevy_gaussian_splatting_tpu.train.quality import (
+                convergence_psnr,
+            )
+
+            psnr_steps = int(os.environ.get("BENCH_PSNR_STEPS", 120))
+            q = convergence_psnr(
+                steps=psnr_steps, n=512, size=128, compositor="pallas",
+            )
+            log(f"convergence PSNR ({psnr_steps} steps, 512 gaussians, "
+                f"128px, pallas bwd): {q['psnr_db']:.2f} dB")
+            extra_configs["train_psnr_db"] = round(q["psnr_db"], 3)
+        except Exception as e:
+            log(f"PSNR config failed: {type(e).__name__}: {e}")
         if time.perf_counter() - t_start_secondary < budget_s:
             try:  # 4DGS temporal at the 1M scale with PER-FRAME time change
                 # (BASELINE.md config 4: the per-frame re-conditioning +
@@ -316,6 +367,29 @@ def main() -> int:
                 )
                 log(f"4DGS 1M fwd (per-frame time): {t4d * 1e3:.2f} ms")
                 extra_configs["gs4d_fwd_ms"] = t4d * 1e3
+                # serving-path re-bin guard (VERDICT r4 #9): every frame of
+                # a temporal scene re-bins through the InteractiveRenderer
+                # (time change always re-bins); this is the expensive
+                # serving case by design and gets a standing number
+                r4 = InteractiveRenderer(settings=s4d, period_floor_ms=1e9)
+                for t_w in (0.25, 0.26):
+                    img = r4.render_orbit(c4d, 0.0, 0.2, 60.0, width=width,
+                                          height=height, time=t_w)
+                    _ = np.asarray(jnp.ravel(img)[:1])
+                frames4 = 12
+                t_rb = float("inf")
+                for w in range(2):
+                    t0 = time.perf_counter()
+                    for i in range(frames4):
+                        img = r4.render_orbit(
+                            c4d, 0.0, 0.2, 60.0, width=width, height=height,
+                            time=0.25 + (w * frames4 + i + 2) * 0.01,
+                        )
+                    _ = np.asarray(jnp.ravel(img)[:1])
+                    t_rb = min(t_rb, (time.perf_counter() - t0) / frames4)
+                log(f"4DGS re-bin serving: {t_rb * 1e3:.2f} ms/frame, "
+                    f"stats={r4.stats}")
+                extra_configs["gs4d_rebin_ms"] = t_rb * 1e3
             except Exception as e:
                 log(f"4DGS secondary config failed: {type(e).__name__}: {e}")
         if time.perf_counter() - t_start_secondary < budget_s:
@@ -335,6 +409,68 @@ def main() -> int:
                 extra_configs["f16_fwd_ms"] = t16 * 1e3
             except Exception as e:
                 log(f"f16 secondary config failed: {type(e).__name__}: {e}")
+        if time.perf_counter() - t_start_secondary < budget_s:
+            try:  # reference-resolution config (VERDICT r4 #2): the
+                # reference's headless default is 1920x1080 Rgba8UnormSrgb
+                # (reference examples/headless.rs:69); 1088 = the next
+                # 16-multiple (68 tile rows; 8 MORE rows of work than the
+                # reference renders).  8160 tiles vs 1024 — the pair count,
+                # searchsorted_wide/tile_ranges tile-axis stages, and the
+                # kernel grid all change regime vs 512x512.
+                w_hd, h_hd = (
+                    int(v) for v in
+                    os.environ.get("BENCH_HD_SIZE", "1920x1088").split("x")
+                )
+                cam_hd = bgs.Camera.create(
+                    eye=(0.0, 0.0, 60.0), target=(0.0, 0.0, 0.0),
+                    width=w_hd, height=h_hd,
+                )
+                p_hd = int(jax.jit(lambda c: pair_count(
+                    c, cam_hd, settings, width=w_hd, height=h_hd))(cloud))
+                b_hd = pairs_budget(n, p_hd, headroom=1.10, quantum=4096)
+                log(f"1080p pair count {p_hd} -> budget {b_hd}")
+                fp_hd = make_tiled_pipeline(
+                    settings, w_hd, h_hd, differentiable=False,
+                    compositor="pallas", pairs_max=b_hd,
+                )
+                t_hd = bench_forward(
+                    fp_hd,
+                    lambda i: (cloud, cam_hd, mt, bg, jnp.float32(i * 1e-7)),
+                    iters,
+                )
+                log(f"1080p fwd: {t_hd * 1e3:.2f} ms/frame "
+                    f"({w_hd * h_hd / t_hd / 1e6:.1f} Mrays/s)")
+                extra_configs["fwd_1080p_ms"] = t_hd * 1e3
+                tgt_hd = fp_hd(cloud, cam_hd, mt, bg, jnp.float32(0.0))
+
+                @jax.jit
+                def fb_hd(c, t):
+                    def loss(c):
+                        img = render_tiled(
+                            c, cam_hd, settings, mt, bg, t,
+                            width=w_hd, height=h_hd, differentiable=True,
+                            compositor="pallas", pairs_max=b_hd,
+                        )
+                        return jnp.mean((img - tgt_hd) ** 2)
+
+                    return jax.value_and_grad(loss)(c)
+
+                l, gg = fb_hd(cloud, jnp.float32(0.0))
+                _ = float(l)
+                tb_hd = float("inf")
+                k = 0
+                for _w in range(3):
+                    t0 = time.perf_counter()
+                    for _i in range(4):
+                        k += 1
+                        l, gg = fb_hd(cloud, jnp.float32(k * 1e-7))
+                    _ = float(l)
+                    t1 = time.perf_counter()
+                    tb_hd = min(tb_hd, (t1 - t0) / 4)
+                log(f"1080p train: {tb_hd * 1e3:.2f} ms/step")
+                extra_configs["train_1080p_ms"] = tb_hd * 1e3
+            except Exception as e:
+                log(f"1080p config failed: {type(e).__name__}: {e}")
         if time.perf_counter() - t_start_secondary < budget_s:
             try:  # 4M-scale scene (BASELINE.md config 2 at scale)
                 n4 = 4 * n
@@ -410,7 +546,8 @@ def main() -> int:
     ratios = {}
     for k in ("fwd_ms", "train_ms", "replay_ms", "gs2d_fwd_ms",
               "gs2d_train_ms", "gs4d_fwd_ms", "f16_fwd_ms",
-              "gs3d_4m_fwd_ms", "gs3d_4m_train_ms"):
+              "gs3d_4m_fwd_ms", "gs3d_4m_train_ms", "gs2d_replay_ms",
+              "gs4d_rebin_ms", "fwd_1080p_ms", "train_1080p_ms"):
         cur, prev = line.get(k), prior_parsed.get(k)
         if cur and prev:
             ratios[k] = round(float(cur) / float(prev), 4)

@@ -31,7 +31,11 @@ def _gaussian_window(size: int, sigma: float):
     x = np.arange(size, dtype=np.float64) - (size - 1) / 2.0
     w = np.exp(-(x**2) / (2.0 * sigma**2))
     w /= w.sum()
-    return jnp.asarray(w, jnp.float32)
+    # return a NUMPY array: any jnp.asarray/cast executed under a jit trace
+    # yields a DynamicJaxprTracer, which the lru_cache would capture and
+    # poison every later jit in the process (UnexpectedTracerError on the
+    # second training run).  numpy constants embed safely in any trace.
+    return w.astype(np.float32)
 
 
 def _blur(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:

@@ -151,3 +151,38 @@ class TestDensify:
             cloud = sgd(cloud, g)
         assert losses[-1] < losses[0], losses
         assert all(np.isfinite(losses)), losses
+
+
+class TestConvergenceQuality:
+    """Standing training-quality floor (VERDICT r4 #3): the fixed-seed
+    multiview fit must keep converging to its known PSNR.  Pointwise
+    gradient-allclose tests can miss dynamics-level damage (a biased term
+    that is tiny at the test point); this catches it."""
+
+    def test_convergence_psnr_floor(self):
+        from bevy_gaussian_splatting_tpu.train.quality import (
+            convergence_psnr,
+        )
+
+        out = convergence_psnr(steps=60, size=48, n=192)
+        # measured 17.78 dB on this protocol (deterministic on CPU);
+        # VERDICT spec: fail if convergence degrades > 0.5 dB
+        assert out["psnr_db"] >= 17.28, out
+        # densify happened and training actually moved from init (~13.8 dB)
+        assert out["psnr_db"] > 15.0
+
+    def test_loss_usable_across_jits(self):
+        """Regression: the SSIM window lru_cache captured a tracer when the
+        first call happened under a jit trace, poisoning every later jit in
+        the process (UnexpectedTracerError on the second training run)."""
+        from bevy_gaussian_splatting_tpu.train.losses import (
+            _gaussian_window,
+            gaussian_splatting_loss,
+        )
+
+        _gaussian_window.cache_clear()
+        a = jnp.zeros((32, 32, 4))
+        b = jnp.ones((32, 32, 4)) * 0.5
+        l1 = jax.jit(gaussian_splatting_loss)(a, b)
+        l2 = jax.jit(lambda x, y: gaussian_splatting_loss(x, y) * 2.0)(a, b)
+        assert np.isfinite(float(l1)) and np.isfinite(float(l2))
