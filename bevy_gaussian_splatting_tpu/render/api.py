@@ -287,7 +287,8 @@ class InteractiveRenderer:
         self._last_pose = None
         self._last_bin_ms = -1e30
         self._compiled: set = set()
-        self.stats = {"bins": 0, "replays": 0}
+        self._oneshots: dict = {}
+        self.stats = {"bins": 0, "replays": 0, "oneshots": 0}
         # per-frame constants built once (eager tiny-op dispatches are NOT
         # free through a remote-device relay)
         self._eye4 = jnp.eye(4, dtype=jnp.float32)
@@ -305,17 +306,72 @@ class InteractiveRenderer:
             np.asarray(model_transform).ravel(),
         ])
 
-    def _needs_bin(self, pipe_key, cloud, time, pose, now_ms: float) -> bool:
-        if self._bins is None or self._bin_key is None:
-            return True
+    def _rebin_reason(self, pipe_key, cloud, time, pose, now_ms: float):
+        """None = replay; "bin" = rebuild bins (bin_fn + replay); "time" =
+        time-driven change, rendered by the FUSED one-shot pipeline (a
+        temporal sweep re-bins every frame anyway, so the two-dispatch
+        bin+replay split — with its blocking sort-duration readback and the
+        pair-order cloud gather that only pays off when replayed — costs
+        ~5.5x the fused render: 476 vs 86 ms/frame at the 1M 4DGS bench)."""
+        if self._bin_key is None:
+            return "bin"
         key, bound_cloud, t_prev = self._bin_key
         # identity (`is`) on a HELD reference, not id(): CPython reuses ids
         # after GC, so a freshly built cloud could alias the freed previous
         # cloud's id and silently keep stale pair membership
-        if key != pipe_key or bound_cloud is not cloud or t_prev != float(time):
-            return True
+        if key != pipe_key or bound_cloud is not cloud:
+            return "bin"
+        if t_prev != float(time):
+            return "time"
+        if self._bins is None:
+            # time settled after one-shot frames: bin once, replay after
+            return "bin"
         moved = not _allclose(pose, self._last_pose, self.move_atol)
-        return moved and (now_ms - self._last_bin_ms) >= self.period_ms
+        if moved and (now_ms - self._last_bin_ms) >= self.period_ms:
+            return "bin"
+        return None
+
+    def _needs_bin(self, pipe_key, cloud, time, pose, now_ms: float) -> bool:
+        return self._rebin_reason(pipe_key, cloud, time, pose, now_ms) is not None
+
+    def _oneshot_fns(self, pipe_key, width: int, height: int,
+                     compositor: str, bucket: int):
+        """Fused single-program render (and its orbit variant) for
+        time-driven frames — same settings/budget key as the replay
+        pipeline, so images are bit-identical to a fresh bin+replay."""
+        fns = self._oneshots.get(pipe_key)
+        if fns is None:
+            from bevy_gaussian_splatting_tpu.models.camera import (
+                orbit_camera_device,
+            )
+            from bevy_gaussian_splatting_tpu.ops.rasterize_tile import (
+                render_tiled,
+            )
+
+            settings = self.settings
+            comp = compositor
+
+            @jax.jit
+            def oneshot(cloud, camera, model_transform, background, time):
+                return render_tiled(
+                    cloud, camera, settings, model_transform, background,
+                    time, width=width, height=height, differentiable=False,
+                    compositor=comp, pairs_max=bucket,
+                )
+
+            @jax.jit
+            def oneshot_orbit(cloud, orbit, background, time):
+                camera = orbit_camera_device(orbit, width, height)
+                return render_tiled(
+                    cloud, camera, settings,
+                    jnp.eye(4, dtype=jnp.float32), background, time,
+                    width=width, height=height, differentiable=False,
+                    compositor=comp, pairs_max=bucket,
+                )
+
+            fns = (oneshot, oneshot_orbit)
+            self._oneshots[pipe_key] = fns
+        return fns
 
     def render(
         self,
@@ -378,7 +434,21 @@ class InteractiveRenderer:
             else self._pose(camera, model_transform)
         )
         now_ms = _time.perf_counter() * 1e3
-        if self._needs_bin(pipe_key, cloud, time, pose, now_ms):
+        reason = self._rebin_reason(pipe_key, cloud, time, pose, now_ms)
+        if reason == "time":
+            # temporal frame: fused one-shot (no blocking bin dispatch, no
+            # pair-order cloud gather); bins invalidated so a settled time
+            # re-bins once and replays afterwards
+            self.stats["oneshots"] += 1
+            self._bins = None
+            self._bin_key = (pipe_key, cloud, float(time))
+            oneshot, _ = self._oneshot_fns(
+                pipe_key, width, height, compositor, bucket
+            )
+            return oneshot(
+                cloud, camera, model_transform, background, jnp.float32(time)
+            )
+        if reason is not None:
             t0 = _time.perf_counter()
             self._bins = jax.block_until_ready(
                 bin_fn(cloud, camera, model_transform, jnp.float32(time))
@@ -491,7 +561,16 @@ class InteractiveRenderer:
 
         pose = np.asarray([az, el, radius, *target, time], np.float64)
         now_ms = _time.perf_counter() * 1e3
-        if self._needs_bin(pipe_key, cloud, time, pose, now_ms):
+        reason = self._rebin_reason(pipe_key, cloud, time, pose, now_ms)
+        if reason == "time":
+            self.stats["oneshots"] += 1
+            self._bins = None
+            self._bin_key = (pipe_key, cloud, float(time))
+            _, oneshot_orbit = self._oneshot_fns(
+                pipe_key, width, height, compositor, bucket
+            )
+            return oneshot_orbit(cloud, orbit, background, jnp.float32(time))
+        if reason is not None:
             t0 = _time.perf_counter()
             self._bins = jax.block_until_ready(
                 bin_orbit_fn(cloud, orbit, jnp.float32(time))

@@ -42,7 +42,7 @@ class TestInteractiveRenderer:
         first = _np(r.render(cloud, cam))
         second = _np(r.render(cloud, cam))
         np.testing.assert_array_equal(first, second)
-        assert r.stats == {"bins": 1, "replays": 1}
+        assert r.stats == {"bins": 1, "replays": 1, "oneshots": 0}
 
     def test_stale_bins_after_subthreshold_motion(self):
         """Within the throttle period a moved camera replays the STALE bins
@@ -77,14 +77,24 @@ class TestInteractiveRenderer:
         cam = _cam((0.0, 0.0, 60.0))
         r = InteractiveRenderer(settings, period_floor_ms=1e9)
         r.render(cloud, cam, time=0.0)
+        # temporal frames route to the FUSED one-shot pipeline (a sweep
+        # re-bins every frame; the bin+replay split costs ~5.5x at bench
+        # scale) — still re-sorted per frame, the reference 4D semantics
         img = _np(r.render(cloud, cam, time=0.25))
-        assert r.stats["bins"] == 2  # temporal scenes re-sort per frame
-        # the re-binned frame must MATCH a fresh render at the new time
+        assert r.stats["bins"] == 1 and r.stats["oneshots"] == 1
         want = _np(
             render(cloud, cam, settings.replace(time=0.25), impl="tiled")
         )
         assert np.isfinite(img).all()
         np.testing.assert_allclose(img, want, atol=2e-6)
+        # settled time: ONE re-bin, bit-identical to the one-shot frame,
+        # then replays
+        img2 = _np(r.render(cloud, cam, time=0.25))
+        assert r.stats["bins"] == 2 and r.stats["oneshots"] == 1
+        np.testing.assert_array_equal(img2, img)
+        img3 = _np(r.render(cloud, cam, time=0.25))
+        assert r.stats["replays"] == 1
+        np.testing.assert_array_equal(img3, img2)
 
     def test_cloud_change_rebins(self):
         cam = _cam((0.0, 0.0, 60.0))
@@ -116,7 +126,7 @@ class TestPairOrderReplay:
                 r = InteractiveRenderer(period_floor_ms=1e9)
                 r.render(cloud, cam0)
                 frames[mode] = _np(r.render(cloud, cam1))
-                assert r.stats == {"bins": 1, "replays": 1}
+                assert r.stats == {"bins": 1, "replays": 1, "oneshots": 0}
             finally:
                 del os.environ["BGS_REPLAY"]
         np.testing.assert_array_equal(frames["pairs"], frames["gather"])
@@ -175,7 +185,7 @@ class TestRenderOrbit:
         )
         want = _np(render(cloud, _cam(eye), impl="oracle"))
         np.testing.assert_allclose(got, want, atol=1e-6)
-        assert r.stats == {"bins": 0, "replays": 0}  # no replay pipeline
+        assert r.stats == {"bins": 0, "replays": 0, "oneshots": 0}  # no replay pipeline
 
     def test_orbit_replay_reuses_bins(self):
         cloud = _scene()
@@ -184,5 +194,5 @@ class TestRenderOrbit:
         img = _np(
             r.render_orbit(cloud, 1e-4, 0.3, 60.0, width=64, height=64)
         )
-        assert r.stats == {"bins": 1, "replays": 1}
+        assert r.stats == {"bins": 1, "replays": 1, "oneshots": 0}
         assert np.isfinite(img).all()
