@@ -33,7 +33,17 @@ _FAST_NS, _MID_NS, _SLOW_NS = 7.0, 9.3, 24.0
 
 
 def _gather_rate(p: int, w: int) -> float:
-    """Modeled ns/row for gathering [p, w] f32 pieces (cliff + row width)."""
+    """Modeled ns/row for gathering [p, w] f32 pieces (cliff + row width).
+
+    Round-5 clarification: these rates price the PRODUCTION regime, where
+    the gathered rows are materialized and consumed in the kernel-native
+    [C, P] layout — NOT raw DMA reads.  A gather fused into a reduction
+    (output never materialized) reads [1M, 16] at ~8.6 ns/row with no
+    width dependence at all (tools/probe_gather_width.py), while the same
+    width in production measures ~23: the "width cliff" is the cost of
+    materializing + transposing wide gather outputs, which XLA fuses into
+    narrow per-piece gathers but not into wide ones.  Same-session 2DGS
+    A/B: split 8+8 59.81 ms vs forced single-16 80.46 (barrier 81.35)."""
     if p * w * 4 > _GATHER_CLIFF_BYTES:
         return _SLOW_NS
     if w <= 8:

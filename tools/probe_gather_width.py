@@ -49,7 +49,7 @@ def main() -> int:
 
         @jax.jit
         def f(idx, *ts):
-            return sum(jnp.sum(t[idx], axis=0) for t in ts)
+            return sum(jnp.sum(t[idx]) for t in ts)
 
         out = f(idx, *tables)
         _ = np.asarray(jnp.ravel(out)[:1])
