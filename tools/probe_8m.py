@@ -97,7 +97,25 @@ def main() -> int:
             f"({dropped / max(total, 1):.2%}); image max|diff|={err.max():.3e} "
             f"mean={err.mean():.3e} median={np.quantile(err, 0.5):.3e} "
             f"q99={np.quantile(err, 0.99):.3e}")
-        del a, b, err, fwd_unc
+        del a, err, fwd_unc
+        frac = float(os.environ.get("PROF_FORCE_TRUNC", "0"))
+        if frac:
+            # the cap may exceed the real pair count (it only eats headroom
+            # then); force a BINDING budget to measure actual truncation
+            # error at scale
+            forced = int(total * frac) // 4096 * 4096
+            fwd_f = make_tiled_pipeline(
+                settings, width, height, differentiable=False,
+                compositor="pallas", pairs_max=forced,
+            )
+            f = np.asarray(fwd_f(cloud, camera, mt, bg, jnp.float32(0.0)))
+            err = np.abs(f - b)
+            log(f"forced truncation A/B (budget {forced} = {frac:.0%} of "
+                f"pairs): image max|diff|={err.max():.3e} "
+                f"mean={err.mean():.3e} median={np.quantile(err, 0.5):.3e} "
+                f"q99={np.quantile(err, 0.99):.3e}")
+            del f, err, fwd_f
+        del b
 
     # ---- timings ----------------------------------------------------------
     fwd_pipe = make_tiled_pipeline(
