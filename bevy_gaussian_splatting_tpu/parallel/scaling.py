@@ -309,7 +309,12 @@ def serialized_work_ratio_median(
     The median of >=3 runs (first-run compile cost amortized by the
     persistent compilation cache is NOT relied on: each run re-measures with
     iters-averaged timing) plus a reported spread makes a bad single reading
-    visible instead of silently steering the modeled efficiency."""
+    visible instead of silently steering the modeled efficiency.
+
+    With ``runs >= 3`` the FIRST subprocess run is discarded as warmup:
+    cold page/disk caches and CPU-frequency ramp on the pinned core bias it
+    (measured 0.852 vs 1.051/1.072 for the next two at 1M/8 — a 21% cold
+    outlier vs 2% steady-state spread)."""
     results = []
     for _ in range(max(runs, 1)):
         results.append(
@@ -317,6 +322,8 @@ def serialized_work_ratio_median(
                 n_devices, n_gaussians, width, height, timeout_s=timeout_s
             )
         )
+    if len(results) >= 3:
+        results = results[1:]
     ratios = sorted(float(r["work_ratio"]) for r in results)
     med = ratios[len(ratios) // 2]
     out = next(dict(r) for r in results if float(r["work_ratio"]) == med)
