@@ -76,6 +76,9 @@ def make_scene(n, width, height):
 def main():
     n = int(os.environ.get("PROF_N", 1_000_000))
     width = height = int(os.environ.get("PROF_SIZE", 512))
+    # non-square override (e.g. the reference's 1080p: PROF_W=1920 PROF_H=1088)
+    width = int(os.environ.get("PROF_W", width))
+    height = int(os.environ.get("PROF_H", height))
     only = os.environ.get("PROF_ONLY", "")
     settings = CloudSettings()
     cloud, camera = make_scene(n, width, height)
