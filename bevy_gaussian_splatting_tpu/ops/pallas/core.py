@@ -246,13 +246,10 @@ def live_grad_count(settings: CloudSettings) -> int:
     return {"obb": 10, "aabb": 9, "2d": 15}[mode]
 
 
-# Backward-kernel chunk size (tunable: BGS_BWD_CHUNK env var at import).
-# 512 matches the forward kernel's measured optimum; the knob exists for
-# on-device ablation since the backward's per-chunk work profile differs
-# (two lane scans + ~11 sublane reductions vs one scan + 3).
+# Backward-kernel chunk size: auto (mean-occupancy policy shared with the
+# forward, tile_fwd.preferred_chunk; BGS_BWD_CHUNK forces it for A/B) —
+# resolution lives in tile_bwd.pallas_composite_backward.
 import os as _os
-
-_BWD_CHUNK = int(_os.environ.get("BGS_BWD_CHUNK", tile_fwd.CHUNK))
 
 
 _CORE_CACHE: dict = {}
@@ -393,7 +390,7 @@ def get_train_core_windowed(settings: CloudSettings, width: int, height: int,
         dsorted_t = tile_bwd.pallas_composite_backward(
             params_sorted, start, count, gbar, settings, width, height,
             interpret=interpret, y0=y0, full_height=full_height,
-            transposed=True, chunk_size=_BWD_CHUNK,
+            transposed=True,
             transposed_params=carry,
         )  # [c_par, P]
         # sorted pair order -> pre-sort slot order via ONE stable sort on the

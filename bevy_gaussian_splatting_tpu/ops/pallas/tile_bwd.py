@@ -459,7 +459,7 @@ def pallas_composite_backward(
     y0=None,
     full_height: int | None = None,
     transposed: bool = False,
-    chunk_size: int = CHUNK,
+    chunk_size: int | None = None,
     transposed_params: bool = False,
 ) -> jnp.ndarray:
     """Run the backward kernel -> dparams [P, C] in the same sorted layout
@@ -497,6 +497,18 @@ def pallas_composite_backward(
         c, p = params_sorted.shape
     else:
         p, c = params_sorted.shape
+    if chunk_size is None:
+        # BGS_BWD_CHUNK forces it for A/B; otherwise mean-occupancy policy
+        # (tile_fwd.preferred_chunk — the bwd sweep agreed with the fwd one:
+        # 1080p train 512/256/128 = 165.9/150.9/154.8)
+        import os as _os
+
+        env = _os.environ.get("BGS_BWD_CHUNK")
+        from bevy_gaussian_splatting_tpu.ops.pallas.tile_fwd import (
+            preferred_chunk,
+        )
+
+        chunk_size = int(env) if env else preferred_chunk(p, num_tiles)
 
     p_pad = (p + chunk_size + 127) // 128 * 128
     params_t = jnp.zeros((pw, p_pad), jnp.float32)

@@ -40,7 +40,28 @@ TILE = 16
 PIX = TILE * TILE  # 256
 PW = 16  # padded param width (3D/4D modes)
 PW_2D = 16  # 2DGS slim affine surfel layout: 16 live columns (folded homography)
-CHUNK = 512  # splats per DMA/compute chunk
+# Splats per DMA/compute chunk (BGS_TILE_CHUNK forces it for on-device
+# A/B).  512 is the 512^2-bench optimum (avg ~1500 pairs/tile); at low
+# per-tile occupancy a 512-lane chunk computes wasted fragment lanes — at
+# 1080p (2.1M pairs / 8160 tiles = ~257/tile) every tile ran ONE half-empty
+# chunk.  preferred_chunk picks by mean occupancy from the measured sweep
+# (same-session v5e, 1M/1080p fwd / train: 512 = 74.9/165.9, 256 =
+# 69.1/150.9, 128 = 71.0/154.8; 1M/512^2: 512 = 41.6/92.3, 256 =
+# 44.4/95.2 — images bit-identical across chunk sizes).
+import os as _os
+
+CHUNK = int(_os.environ.get("BGS_TILE_CHUNK", 512))
+
+
+def preferred_chunk(p_max: int, num_tiles: int) -> int:
+    """Kernel chunk size from mean per-tile pair occupancy (see above)."""
+    env = _os.environ.get("BGS_TILE_CHUNK")
+    if env:
+        return int(env)
+    avg = p_max / max(num_tiles, 1)
+    return 256 if avg <= 320 else 512
+
+
 ALPHA_CAP = 0.999
 TRANS_EPS = 1.0 / 255.0
 
@@ -333,13 +354,16 @@ def pallas_forward_raw(
     width: int,
     height: int,
     interpret: bool = False,
-    chunk_size: int = CHUNK,
+    chunk_size: int | None = None,
     early_exit: bool = True,
     y0=None,
     full_height: int | None = None,
     transposed_params: bool = False,
 ) -> jnp.ndarray:
     """Raw kernel output [T*8, PIX]: rows 0-2 rgb accum, row 3 transmittance.
+
+    ``chunk_size=None`` picks by mean per-tile occupancy (preferred_chunk;
+    256 below ~320 pairs/tile — the 1080p regime — else 512).
 
     ``y0``/``full_height``: full-frame pixel geometry for sharded band
     rendering (parallel/render.py) — ``height`` is then the band height that
@@ -365,6 +389,8 @@ def pallas_forward_raw(
         c, p = params_sorted.shape
     else:
         p, c = params_sorted.shape
+    if chunk_size is None:
+        chunk_size = preferred_chunk(p, num_tiles)
 
     # transposed + padded so any chunk DMA stays in bounds and lanes align
     p_pad = (p + chunk_size + 127) // 128 * 128
@@ -455,7 +481,7 @@ def pallas_composite_tiles(
     height: int,
     background=None,
     interpret: bool = False,
-    chunk_size: int = CHUNK,
+    chunk_size: int | None = None,
     early_exit: bool = True,
     y0=None,
     full_height: int | None = None,

@@ -472,3 +472,19 @@ class TestParamsDelivery:
             else:
                 os.environ["BGS_PARAMS_DELIVERY"] = old
         np.testing.assert_array_equal(_np(a), _np(b))
+
+
+class TestChunkPolicy:
+    def test_preferred_chunk_by_occupancy(self):
+        """Mean-occupancy kernel chunk policy (round-5 1080p sweep): low
+        pairs/tile picks 256, bench-style occupancy keeps 512."""
+        from bevy_gaussian_splatting_tpu.ops.pallas.tile_fwd import (
+            preferred_chunk,
+        )
+
+        # 1080p regime: 2.1M pairs / 8160 tiles ~ 257/tile
+        assert preferred_chunk(2_101_248, 8160) == 256
+        # 512^2 bench regime: 1.6M / 1024 ~ 1568/tile
+        assert preferred_chunk(1_605_632, 1024) == 512
+        # 4M bench: 6.42M / 1024
+        assert preferred_chunk(6_422_528, 1024) == 512
