@@ -509,6 +509,29 @@ class TestScalingProxy:
             t1, n, 2, 4, params=free
         ) - 1.0) < 1e-9
 
+    def test_serialized_median_discards_cold_first_run(self):
+        """Protocol (VERDICT r4 #5): median of the post-warmup runs with
+        dispersion — the first pinned-core subprocess run is a cold outlier
+        (measured 0.852 vs 1.051/1.072 steady-state at 1M/8)."""
+        from unittest import mock
+
+        from bevy_gaussian_splatting_tpu.parallel import scaling
+
+        seq = iter([
+            {"work_ratio": 0.852, "exchange": "bounded", "band_pairs": 1},
+            {"work_ratio": 1.072, "exchange": "bounded", "band_pairs": 1},
+            {"work_ratio": 1.051, "exchange": "bounded", "band_pairs": 1},
+            {"work_ratio": 1.060, "exchange": "bounded", "band_pairs": 1},
+        ])
+        with mock.patch.object(
+            scaling, "serialized_work_ratio", lambda *a, **k: next(seq)
+        ):
+            out = scaling.serialized_work_ratio_median(8, 1000, runs=4)
+        # cold 0.852 discarded; median of [1.051, 1.060, 1.072] = 1.060
+        assert out["work_ratio"] == 1.060
+        assert out["work_ratio_runs"] == [1.051, 1.06, 1.072]
+        assert out["work_ratio_spread"] < 0.03
+
     def test_measured_work_ratio_runs(self):
         import bevy_gaussian_splatting_tpu as bgs
         from bevy_gaussian_splatting_tpu.parallel.scaling import (
