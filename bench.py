@@ -367,10 +367,11 @@ def main() -> int:
                 )
                 log(f"4DGS 1M fwd (per-frame time): {t4d * 1e3:.2f} ms")
                 extra_configs["gs4d_fwd_ms"] = t4d * 1e3
-                # serving-path re-bin guard (VERDICT r4 #9): every frame of
-                # a temporal scene re-bins through the InteractiveRenderer
-                # (time change always re-bins); this is the expensive
-                # serving case by design and gets a standing number
+                # serving-path temporal guard (VERDICT r4 #9): every frame
+                # of a temporal scene re-sorts/re-bins; the
+                # InteractiveRenderer routes such frames through the FUSED
+                # one-shot pipeline (stats counts them as oneshots) — the
+                # expensive serving case by design, standing number
                 r4 = InteractiveRenderer(settings=s4d, period_floor_ms=1e9)
                 for t_w in (0.25, 0.26):
                     img = r4.render_orbit(c4d, 0.0, 0.2, 60.0, width=width,

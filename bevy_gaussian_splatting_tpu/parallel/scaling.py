@@ -111,8 +111,14 @@ def train_comm_bytes_per_chip(
         exchange_bytes_per_device,
     )
 
-    vols = exchange_bytes_per_device(n_total, n_bands, cols_exchange, budget)
-    fwd = vols["bounded"] if budget is not None else vols["allgather"]
+    if n_bands <= 1:
+        # a single tile band per camera row has no splat exchange at all
+        fwd = 0.0
+    else:
+        vols = exchange_bytes_per_device(
+            n_total, n_bands, cols_exchange, budget
+        )
+        fwd = vols["bounded"] if budget is not None else vols["allgather"]
     shard_bytes = (n_total // max(n_bands, 1)) * cloud_cols * 4
     r = max(n_camera, 1)
     dcn = 2.0 * (r - 1) / r * shard_bytes if r > 1 else 0.0
@@ -150,7 +156,10 @@ def modeled_efficiency_train(
         n_total, chips_per_host, cols_exchange, budget,
         n_camera=n_hosts, cloud_cols=cloud_cols,
     )
-    t_ici = vols["ici"] / params["ici_bytes_per_s"] + 2 * params["launch_s"]
+    t_ici = (
+        vols["ici"] / params["ici_bytes_per_s"] + 2 * params["launch_s"]
+        if vols["ici"] else 0.0
+    )
     t_dcn = (
         vols["dcn"] / params["dcn_bytes_per_s"] + params["launch_s"]
         if vols["dcn"] else 0.0
@@ -299,7 +308,7 @@ def serialized_work_ratio_median(
     n_gaussians: int,
     width: int = 128,
     height: int = 128,
-    runs: int = 3,
+    runs: int = 4,
     timeout_s: float = 900.0,
 ) -> dict:
     """Median-of-``runs`` :func:`serialized_work_ratio` with dispersion.
@@ -325,6 +334,11 @@ def serialized_work_ratio_median(
     if len(results) >= 3:
         results = results[1:]
     ratios = sorted(float(r["work_ratio"]) for r in results)
+    # upper-middle element: the true median for odd counts; for even counts
+    # the CONSERVATIVE (higher work-ratio) of the two middle runs — always
+    # an actually-measured value, never an interpolation.  Default runs=4
+    # -> 3 kept -> true median; runs<3 keeps all runs (no warmup discard),
+    # documented for constrained hosts.
     med = ratios[len(ratios) // 2]
     out = next(dict(r) for r in results if float(r["work_ratio"]) == med)
     out["work_ratio_runs"] = ratios

@@ -265,8 +265,14 @@ class InteractiveRenderer:
     binning artifacts (pair membership + order + tile ranges) — and fresh
     per-frame projection, exactly the reference's staleness class.
 
-    A TIME change always re-bins (4DGS temporal scenes need the per-frame
-    depth re-sort, BASELINE.md config 4), as does a cloud identity change.
+    A TIME change always re-sorts/re-bins (4DGS temporal scenes need the
+    per-frame depth re-sort, BASELINE.md config 4) — but through a FUSED
+    one-shot pipeline rather than the bin+replay split (the split's
+    blocking bin dispatch + pair-order cloud gather only pay off when
+    frames REPLAY; a temporal sweep re-bins every frame, measured 4.8x
+    slower split vs fused at the 1M 4DGS bench).  Such frames count in
+    ``stats["oneshots"]``; a settled time re-bins once and replays after.
+    A cloud identity change rebuilds bins on the bin+replay path.
     """
 
     def __init__(
@@ -330,9 +336,6 @@ class InteractiveRenderer:
         if moved and (now_ms - self._last_bin_ms) >= self.period_ms:
             return "bin"
         return None
-
-    def _needs_bin(self, pipe_key, cloud, time, pose, now_ms: float) -> bool:
-        return self._rebin_reason(pipe_key, cloud, time, pose, now_ms) is not None
 
     def _oneshot_fns(self, pipe_key, width: int, height: int,
                      compositor: str, bucket: int):

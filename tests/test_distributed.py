@@ -461,6 +461,9 @@ class TestScalingProxy:
         )
 
         n, bands, cols = 1_000_000, 4, 14
+        # one band per camera row: no splat exchange exists at all
+        v1 = train_comm_bytes_per_chip(n, 1, cols, n_camera=2)
+        assert v1["ici"] == 0.0 and v1["dcn"] > 0.0
         # single host: no DCN traffic; ICI doubles the fwd exchange exactly
         v = train_comm_bytes_per_chip(n, bands, cols)
         assert v["dcn"] == 0.0

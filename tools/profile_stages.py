@@ -871,7 +871,6 @@ def main():
         )
         from bevy_gaussian_splatting_tpu.ops.pallas import tile_bwd, tile_fwd
         from bevy_gaussian_splatting_tpu.ops.pallas.core import (
-            _BWD_CHUNK,
             _gather_rows,
         )
         from bevy_gaussian_splatting_tpu.ops.pallas.reduce import (
@@ -951,8 +950,7 @@ def main():
                 if "kernel" in stages:
                     dsorted_t = tile_bwd.pallas_composite_backward(
                         params_sorted, start, count, gbar, settings, width,
-                        height, interpret=interp, transposed=True,
-                        chunk_size=_BWD_CHUNK)
+                        height, interpret=interp, transposed=True)
                 else:
                     dsorted_t = params_sorted.T * (1e-9 * gbar[0, 0, 0])
                 if "sort" in stages:
