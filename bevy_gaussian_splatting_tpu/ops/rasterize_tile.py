@@ -103,6 +103,12 @@ def pairs_budget(
     return int(min(bucket, cap))
 
 
+def pad_to_tile(v: int) -> int:
+    """Next multiple of TILE at or above ``v`` (non-16-multiple heights
+    render on a padded tile grid and crop — see :func:`render_tiled`)."""
+    return -(-v // TILE) * TILE
+
+
 def pair_count(
     cloud,
     camera: Camera,
@@ -115,7 +121,8 @@ def pair_count(
     """Exact (gaussian, tile) pair count for this frame — N-sized ops only
     (no expansion), so it is cheap to run as a budget-sizing prepass.
 
-    Mirrors the active/extents logic of :func:`bin_gaussians` exactly."""
+    Mirrors the active/extents logic of :func:`bin_gaussians` exactly
+    (including the padded tile grid of non-16-multiple heights)."""
     if model_transform is None:
         model_transform = jnp.eye(4, dtype=jnp.float32)
     if width is None:
@@ -131,7 +138,7 @@ def pair_count(
     splats["mask"] = splats["mask"] & (back_key != sort_ops.SENTINEL_KEY)
 
     tx_count = width // TILE
-    ty_count = height // TILE
+    ty_count = pad_to_tile(height) // TILE
     cx, cy, rx, ry = _pixel_extents(splats, settings, width, height)
     active = splats["mask"] & (rx > 0.0) & (ry > 0.0)
     tx0 = jnp.clip(jnp.floor((cx - rx) / TILE), 0, tx_count - 1)
@@ -392,6 +399,12 @@ def bin_gaussians(
     backward turns per-pair gradients into per-gaussian gradients with
     sort/scan machinery only — no XLA scatter-add (measured 0.6 GB/s).
 
+    Non-16-multiple ``height`` (e.g. the reference's 1080): the tile grid
+    pads to the next TILE multiple (ty_count = ceil(height/16)) while every
+    pixel-frame quantity (extents, on-screen clip) stays in the TRUE
+    viewport frame — the caller composites the padded grid with
+    ``full_height=height`` and crops the pad rows.
+
     ``deliver="carry"`` (pallas expansion only, pass ``params`` [N, c]):
     rank-ordered params ride the depth sort as f32 operands, the expansion
     kernel emits each pair's param row via an exact one-hot MXU gather, and
@@ -404,7 +417,7 @@ def bin_gaussians(
     stop-gradiented (training gradients flow through the core's custom
     VJP, not the binning)."""
     tx_count = width // TILE
-    ty_count = height // TILE
+    ty_count = pad_to_tile(height) // TILE
     n = splats["mask"].shape[0]
 
     cx, cy, rx, ry = _pixel_extents(splats, settings, width, height)
@@ -1107,8 +1120,24 @@ def render_tiled(
         width = int(camera.viewport[2])
     if height is None:
         height = int(camera.viewport[3])
-    if width % TILE or height % TILE:
-        raise ValueError(f"image size must be a multiple of {TILE}")
+    if width % TILE:
+        raise ValueError(f"image width must be a multiple of {TILE}")
+    # non-16-multiple heights (the reference's headless default is
+    # 1920x1080, examples/headless.rs:69): pad the tile GRID to the next
+    # multiple while every fragment evaluates in the true viewport frame
+    # (full_height), then crop the pad rows — bit-identical per-pixel math
+    # to the oracle at the true size
+    h_pad = pad_to_tile(height)
+    if (
+        h_pad != height
+        and background is not None
+        and getattr(background, "ndim", 1) == 3
+    ):
+        # full-image backgrounds (multi-cloud phase compositing) pad along
+        # rows with zeros; the pad rows are cropped again below
+        background = jnp.pad(
+            background, ((0, h_pad - height), (0, 0), (0, 0))
+        )
 
     n = len(cloud)
     clip_from_world = camera.clip_from_view @ camera.view_from_world
@@ -1176,7 +1205,10 @@ def render_tiled(
         params=params if deliver == "carry" else None, deliver=deliver,
     )
     g_s, tile_s, valid_s = bins[0], bins[1], bins[2]
-    start, end = tile_ranges(tile_s, (width // TILE) * (height // TILE))
+    start, end = tile_ranges(tile_s, (width // TILE) * (h_pad // TILE))
+
+    def crop(img):
+        return img[:height] if h_pad != height else img
 
     if compositor == "pallas":
         count = jnp.minimum(end - start, k_max)
@@ -1194,8 +1226,8 @@ def render_tiled(
 
             gidx_s, table, g0s, inv_map = bins[4:8]
             core = get_train_core_windowed(
-                settings, width, height, interpret, k_max, unpermute=unperm,
-                delivery=deliver,
+                settings, width, h_pad, interpret, k_max,
+                full_height=height, unpermute=unperm, delivery=deliver,
             )
             # delivery="carry": arg 1 is the bin-carried params_sorted.
             # stop_gradient HERE is load-bearing: the core's vjp returns a
@@ -1216,7 +1248,7 @@ def render_tiled(
                 params, arg1, valid_s, start, count, gidx_s, table, g0s,
                 inv_map, jnp.zeros((1,), jnp.int32),
             )
-            return composite_epilogue(out_raw, background, width, height)
+            return crop(composite_epilogue(out_raw, background, width, h_pad))
 
         # forward-only serving path: the kernel handles unaligned tile starts
         # directly, so the pair-sorted buffer is used as-is after one gather.
@@ -1234,18 +1266,18 @@ def render_tiled(
             bins[4] if deliver == "carry"
             else _serving_params_gather(params, g_s)
         )
-        return pallas_composite_tiles(
-            params_sorted, start, count, settings, width, height,
+        return crop(pallas_composite_tiles(
+            params_sorted, start, count, settings, width, h_pad,
             background=background, interpret=interpret,
-            transposed_params=deliver == "carry",
-        )
+            transposed_params=deliver == "carry", full_height=height,
+        ))
 
     params_sorted = _serving_params_gather(params, g_s)
-    return composite_tiles(
-        params_sorted, valid_s, start, end, settings, width, height,
+    return crop(composite_tiles(
+        params_sorted, valid_s, start, end, settings, width, h_pad,
         k_max=k_max, chunk=chunk, background=background,
-        differentiable=differentiable,
-    )
+        differentiable=differentiable, full_height=height,
+    ))
 
 
 def make_tiled_pipeline(

@@ -415,6 +415,20 @@ class InteractiveRenderer:
                 cloud, camera, settings, model_transform, background,
                 impl=impl,
             )
+        from bevy_gaussian_splatting_tpu.ops.rasterize_tile import TILE
+
+        if width % TILE or height % TILE:
+            # the replay pipelines need the exact tile grid; non-16-multiple
+            # viewports (e.g. the reference's 1920x1080) render through the
+            # padded-grid one-shot path (render_tiled pads + crops)
+            st = settings
+            if time != getattr(settings, "time", 0.0):
+                import dataclasses
+
+                st = dataclasses.replace(settings, time=float(time))
+            return render(
+                cloud, camera, st, model_transform, background, impl="tiled"
+            )
 
         base_key = (
             "interactive", compositor, settings.static_key(), width, height,
@@ -528,6 +542,28 @@ class InteractiveRenderer:
         compositor = (
             "pallas" if jax.default_backend() == "tpu" else "xla"
         )
+        from bevy_gaussian_splatting_tpu.ops.rasterize_tile import TILE
+
+        if width % TILE or height % TILE:
+            # non-16-multiple viewport: padded-grid one-shot (see render())
+            import math
+
+            eye = (
+                target[0] + radius * math.cos(el) * math.sin(az),
+                target[1] + radius * math.sin(el),
+                target[2] + radius * math.cos(el) * math.cos(az),
+            )
+            camera = Camera.create(
+                eye=eye, target=tuple(target), width=width, height=height
+            )
+            st = settings
+            if time != getattr(settings, "time", 0.0):
+                import dataclasses
+
+                st = dataclasses.replace(settings, time=float(time))
+            return render(
+                cloud, camera, st, self._eye4, background, impl="tiled"
+            )
         base_key = (
             "interactive", compositor, settings.static_key(), width, height,
             len(cloud), type(cloud).__name__,

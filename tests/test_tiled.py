@@ -369,3 +369,82 @@ class TestAdaptiveBudget:
         for _ in range(3):  # exercise the budget-state path
             b = _np(api.render(CLOUD, CAM, settings, impl="tiled"))
         np.testing.assert_allclose(b, a, atol=2e-5)
+
+
+class TestNonTileMultipleHeight:
+    """Non-16-multiple heights (the reference's headless default is
+    1920x1080): the tile grid pads to the next multiple, fragment math stays
+    in the true viewport frame, pad rows crop — oracle parity at the TRUE
+    size is the correctness bar."""
+
+    def test_oracle_parity_1080_style(self):
+        cam = bgs.Camera.create(
+            eye=(0.0, 0.0, 60.0), target=(0.0, 0.0, 0.0), width=64, height=40
+        )
+        for settings in (bgs.CloudSettings(), bgs.CloudSettings(aabb=True)):
+            a = _np(render_oracle(CLOUD, cam, settings, width=64, height=40))
+            b = _np(render_tiled(CLOUD, cam, settings, width=64, height=40))
+            assert b.shape == (40, 64, 4)
+            np.testing.assert_allclose(b, a, atol=2e-5)
+
+    def test_2dgs_padded_height(self):
+        cam = bgs.Camera.create(
+            eye=(0.0, 0.0, 60.0), target=(0.0, 0.0, 0.0), width=48, height=24
+        )
+        s = bgs.CloudSettings(gaussian_mode=GaussianMode.GAUSSIAN_2D)
+        a = _np(render_oracle(CLOUD, cam, s, width=48, height=24))
+        b = _np(render_tiled(CLOUD, cam, s, width=48, height=24))
+        np.testing.assert_allclose(b, a, atol=1e-4)
+
+    def test_padded_train_grads_finite(self):
+        cam = bgs.Camera.create(
+            eye=(0.0, 0.0, 60.0), target=(0.0, 0.0, 0.0), width=32, height=24
+        )
+        settings = bgs.CloudSettings()
+        target = render_tiled(CLOUD, cam, settings, width=32, height=24)
+
+        def loss(c):
+            img = render_tiled(
+                c, cam, settings, width=32, height=24, differentiable=True,
+                compositor="pallas",
+            )
+            return jnp.mean((img - target) ** 2)
+
+        l, g = jax.value_and_grad(loss)(CLOUD)
+        assert np.isfinite(float(l))
+        assert np.isfinite(_np(g.position_visibility)).all()
+        # gradients must match the XLA-AD compositor at the padded size
+        l2, g2 = jax.value_and_grad(
+            lambda c: jnp.mean(
+                (render_tiled(c, cam, settings, width=32, height=24,
+                              differentiable=True, compositor="xla")
+                 - target) ** 2
+            )
+        )(CLOUD)
+        np.testing.assert_allclose(
+            _np(g.position_visibility), _np(g2.position_visibility),
+            atol=1e-6,
+        )
+
+    def test_interactive_routes_nonmultiple_to_oneshot(self):
+        from bevy_gaussian_splatting_tpu.render.api import (
+            InteractiveRenderer, render,
+        )
+
+        cam = bgs.Camera.create(
+            eye=(0.0, 0.0, 60.0), target=(0.0, 0.0, 0.0), width=64, height=40
+        )
+        r = InteractiveRenderer()
+        img = _np(r.render(CLOUD, cam))
+        assert img.shape == (40, 64, 4)
+        assert r.stats["bins"] == 0  # replay pipeline never engaged
+        np.testing.assert_allclose(
+            img, _np(render(CLOUD, cam, impl="tiled")), atol=2e-6
+        )
+
+    def test_width_must_be_multiple(self):
+        cam = bgs.Camera.create(
+            eye=(0.0, 0.0, 60.0), target=(0.0, 0.0, 0.0), width=40, height=32
+        )
+        with pytest.raises(ValueError):
+            render_tiled(CLOUD, cam, bgs.CloudSettings(), width=40, height=32)
