@@ -412,15 +412,15 @@ def main() -> int:
                 log(f"f16 secondary config failed: {type(e).__name__}: {e}")
         if time.perf_counter() - t_start_secondary < budget_s:
             try:  # reference-resolution config (VERDICT r4 #2): the
-                # reference's headless default is 1920x1080 Rgba8UnormSrgb
-                # (reference examples/headless.rs:69); 1088 = the next
-                # 16-multiple (68 tile rows; 8 MORE rows of work than the
-                # reference renders).  8160 tiles vs 1024 — the pair count,
-                # searchsorted_wide/tile_ranges tile-axis stages, and the
-                # kernel grid all change regime vs 512x512.
+                # reference's EXACT headless default, 1920x1080
+                # Rgba8UnormSrgb (reference examples/headless.rs:69) — the
+                # tile grid pads to 68 rows internally and crops (non-16-
+                # multiple height support).  8160 tiles vs 1024 — the pair
+                # count, searchsorted_wide/tile_ranges tile-axis stages,
+                # and the kernel grid all change regime vs 512x512.
                 w_hd, h_hd = (
                     int(v) for v in
-                    os.environ.get("BENCH_HD_SIZE", "1920x1088").split("x")
+                    os.environ.get("BENCH_HD_SIZE", "1920x1080").split("x")
                 )
                 cam_hd = bgs.Camera.create(
                     eye=(0.0, 0.0, 60.0), target=(0.0, 0.0, 0.0),
