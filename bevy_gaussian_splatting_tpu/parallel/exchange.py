@@ -95,10 +95,13 @@ def _plan(b0, b1, active, n_local, p_band, n_bands):
     )
     # inverse of the pair sort (for the backward's un-permute)
     _, inv_pair = jax.lax.sort((slot_s, slots), num_keys=1)
-    seg_starts = searchsorted_wide(dest_s, jnp.arange(n_bands, dtype=jnp.int32),
-                                   side="left")
-    seg_ends = searchsorted_wide(dest_s, jnp.arange(n_bands, dtype=jnp.int32),
-                                 side="right")
+    # one search over n_bands + 1 integer queries: seg_ends[b] ==
+    # seg_starts[b+1] (first index >= b+1 is the first index > b)
+    bounds = searchsorted_wide(
+        dest_s, jnp.arange(n_bands + 1, dtype=jnp.int32), side="left"
+    )
+    seg_starts = bounds[:n_bands]
+    seg_ends = bounds[1:]
     return gidx, gidx_s, dest_s, inv_pair, seg_starts, seg_ends, offsets, span
 
 
