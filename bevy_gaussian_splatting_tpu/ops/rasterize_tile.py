@@ -186,9 +186,11 @@ def _pixel_extents(splats: dict, settings: CloudSettings, width, height):
 def tile_row_range(splats: dict, settings: CloudSettings, width: int, height: int):
     """Per-splat clipped tile-row interval [ty0, ty1] and activity — EXACTLY
     the quantities :func:`bin_gaussians` windows bands on (shared so the
-    bounded band exchange routes precisely the rows each band would keep)."""
+    bounded band exchange routes precisely the rows each band would keep;
+    ty_count pads like binning does, so the invariant holds at
+    non-16-multiple heights too)."""
     tx_count = width // TILE
-    ty_count = height // TILE
+    ty_count = pad_to_tile(height) // TILE
     cx, cy, rx, ry = _pixel_extents(splats, settings, width, height)
     active = splats["mask"] & (rx > 0.0) & (ry > 0.0)
     ty0 = jnp.clip(jnp.floor((cy - ry) / TILE), 0, ty_count - 1).astype(jnp.int32)
@@ -1195,7 +1197,9 @@ def render_tiled(
             preferred_unpermute(n, live_grad_count(settings))
             if train_pallas else "rank"
         )
-        if width // TILE <= 127 and height // TILE <= 127:
+        if width // TILE <= 127 and h_pad // TILE <= 127:
+            # the packed-carry depth sort's 7-bit tile fields see the
+            # PADDED grid (bin_gaussians pads ty_count)
             deliver = preferred_params_delivery(
                 n, p_max, params.shape[1], training=train_pallas
             )

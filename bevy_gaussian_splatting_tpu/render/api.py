@@ -410,24 +410,28 @@ class InteractiveRenderer:
             impl = "tiled" if supports(settings) else "oracle"
             if impl == "tiled" and jax.default_backend() == "tpu":
                 compositor = "pallas"
-        if impl != "tiled":
-            return render(
-                cloud, camera, settings, model_transform, background,
-                impl=impl,
-            )
         from bevy_gaussian_splatting_tpu.ops.rasterize_tile import TILE
 
-        if width % TILE or height % TILE:
-            # the replay pipelines need the exact tile grid; non-16-multiple
-            # viewports (e.g. the reference's 1920x1080) render through the
-            # padded-grid one-shot path (render_tiled pads + crops)
+        if impl != "tiled" or width % TILE or height % TILE:
+            # non-tiled impls, and non-16-multiple viewports (e.g. the
+            # reference's 1920x1080 — the replay pipelines need the exact
+            # tile grid), render through the one-shot path; render_tiled
+            # pads the tile grid + crops.  The time argument rides via
+            # settings (module render() reads settings.time), and the
+            # compositor choice survives as impl='tiled-pallas'.
             st = settings
             if time != getattr(settings, "time", 0.0):
                 import dataclasses
 
                 st = dataclasses.replace(settings, time=float(time))
+            one_impl = impl
+            if impl == "tiled":
+                one_impl = (
+                    "tiled-pallas" if compositor == "pallas" else "tiled"
+                )
             return render(
-                cloud, camera, st, model_transform, background, impl="tiled"
+                cloud, camera, st, model_transform, background,
+                impl=one_impl,
             )
 
         base_key = (
@@ -520,32 +524,15 @@ class InteractiveRenderer:
             from bevy_gaussian_splatting_tpu.ops.rasterize_tile import supports
 
             impl = "tiled" if supports(settings) else "oracle"
-        if impl != "tiled":
-            import math
-
-            eye = (
-                target[0] + radius * math.cos(el) * math.sin(az),
-                target[1] + radius * math.sin(el),
-                target[2] + radius * math.cos(el) * math.cos(az),
-            )
-            camera = Camera.create(
-                eye=eye, target=tuple(target), width=width, height=height
-            )
-            st = settings
-            if time != getattr(settings, "time", 0.0):
-                import dataclasses
-
-                st = dataclasses.replace(settings, time=float(time))
-            return render(
-                cloud, camera, st, self._eye4, background, impl=impl
-            )
         compositor = (
             "pallas" if jax.default_backend() == "tpu" else "xla"
         )
         from bevy_gaussian_splatting_tpu.ops.rasterize_tile import TILE
 
-        if width % TILE or height % TILE:
-            # non-16-multiple viewport: padded-grid one-shot (see render())
+        if impl != "tiled" or width % TILE or height % TILE:
+            # non-tiled impls, and non-16-multiple viewports (padded-grid
+            # one-shot — see render()): host camera from the orbit params,
+            # time rides via settings, pallas survives as 'tiled-pallas'
             import math
 
             eye = (
@@ -561,8 +548,13 @@ class InteractiveRenderer:
                 import dataclasses
 
                 st = dataclasses.replace(settings, time=float(time))
+            one_impl = impl
+            if impl == "tiled":
+                one_impl = (
+                    "tiled-pallas" if compositor == "pallas" else "tiled"
+                )
             return render(
-                cloud, camera, st, self._eye4, background, impl="tiled"
+                cloud, camera, st, self._eye4, background, impl=one_impl
             )
         base_key = (
             "interactive", compositor, settings.static_key(), width, height,

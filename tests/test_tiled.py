@@ -426,6 +426,22 @@ class TestNonTileMultipleHeight:
             atol=1e-6,
         )
 
+    def test_pallas_serving_padded_height(self):
+        """The forward-only Pallas compositor at a padded grid (interpret
+        mode) must match the XLA compositor bit-for-bit up to kernel
+        reassociation — covers the crop(pallas_composite_tiles(..., h_pad,
+        full_height=true)) branch before it first runs on hardware."""
+        cam = bgs.Camera.create(
+            eye=(0.0, 0.0, 60.0), target=(0.0, 0.0, 0.0), width=32, height=24
+        )
+        settings = bgs.CloudSettings()
+        a = _np(render_tiled(CLOUD, cam, settings, width=32, height=24,
+                             differentiable=False, compositor="xla"))
+        b = _np(render_tiled(CLOUD, cam, settings, width=32, height=24,
+                             differentiable=False, compositor="pallas"))
+        assert b.shape == (24, 32, 4)
+        np.testing.assert_allclose(b, a, atol=2e-6)
+
     def test_interactive_routes_nonmultiple_to_oneshot(self):
         from bevy_gaussian_splatting_tpu.render.api import (
             InteractiveRenderer, render,
