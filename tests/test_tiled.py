@@ -464,3 +464,37 @@ class TestNonTileMultipleHeight:
         )
         with pytest.raises(ValueError):
             render_tiled(CLOUD, cam, bgs.CloudSettings(), width=40, height=32)
+
+
+class TestTileRanges:
+    def test_single_search_matches_numpy(self):
+        """tile_ranges' one-call form (end[t] == start[t+1] for integer
+        keys) against np.searchsorted on adversarial distributions: empty
+        tiles, runs, all-sentinel, single-tile."""
+        from bevy_gaussian_splatting_tpu.ops.rasterize_tile import (
+            tile_ranges,
+        )
+
+        rng = np.random.default_rng(7)
+        for T, P in ((16, 200), (1024, 5000), (8160, 3000), (3, 1)):
+            # clustered tiles with gaps + a sorted-sentinel suffix
+            tiles = np.sort(
+                rng.choice(T, size=P, p=_cluster_probs(T, rng))
+            ).astype(np.int32)
+            n_sent = rng.integers(0, P // 2 + 1)
+            if n_sent:
+                tiles[-n_sent:] = T  # sentinel tile id
+                tiles = np.sort(tiles)
+            start, end = tile_ranges(jnp.asarray(tiles), T)
+            tids = np.arange(T)
+            np.testing.assert_array_equal(
+                _np(start), np.searchsorted(tiles, tids, side="left")
+            )
+            np.testing.assert_array_equal(
+                _np(end), np.searchsorted(tiles, tids, side="right")
+            )
+
+
+def _cluster_probs(T, rng):
+    w = rng.random(T) ** 4
+    return w / w.sum()
